@@ -1,0 +1,270 @@
+"""Deterministic ontology-pattern triple extraction (E1/E2/E4 replacement).
+
+The reference extracts triples with one LLM call per chunk plus one metadata
+call for chunk 0 (``kg_creator/src/utils.py:919-928``, ``agent_utils.py:
+199-208``; prompts ``prompts.py:1-290`` and ``prompts.py:474-754``).  We
+replace the prompt programs with a rule grammar whose behaviors are fixed by
+the prompts' own few-shot examples:
+
+- judgment header block -> CourtCase/Court/Party/Judge triples
+  (``prompts.py:621-753``);
+- WITH/AND follow-on case blocks -> ``cited`` edges from the primary case
+  (``prompts.py:486,553``);
+- body sentence patterns -> provisions, witnesses, evidence, decisions,
+  citations, opinions, arguments, date-of-judgment
+  (``prompts.py:200-289`` example sentence).
+
+Extraction is per *document* (not per chunk): chunk-boundary truncation is a
+failure mode of the reference's per-chunk prompting we do not inherit; the
+triple-set parity metric is document-level.  Parallelism at 10^12-page scale
+comes from pages, so a per-document Arrow batch UDF saturates any cluster.
+
+Raw triple IR mirrors the reference's ``NodeTriple`` (``output_parser.py:
+34-39``): node values are ``Union[dict, str]``; we normalize a bare string to
+``{"__value": s}`` immediately (SURVEY.md §1.3).
+
+Each triple carries ``span_start`` (char offset of the evidence in the
+document) so the Paragraph ``part_of`` edges (``agent_utils.py:258-268``) can
+be rebuilt with a range join against chunk offsets.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterator, List, Optional, Tuple, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+VALUE = "__value"  # map key marking "this was a bare string mention"
+
+RAW_TRIPLES_SCHEMA = (
+    "url string, span_start long, node1_type string, "
+    "node1_value map<string,string>, relationship string, "
+    "node2_type string, node2_value map<string,string>"
+)
+
+
+def _s(v: str) -> Dict[str, str]:
+    """Bare string mention -> normalized map."""
+    return {VALUE: v}
+
+
+# ---------------------------------------------------------------------------
+# Header grammar
+# ---------------------------------------------------------------------------
+
+_COURT_RE = re.compile(r"^IN THE ([A-Z][A-Z .]+)$", re.M)
+_JURIS_RE = re.compile(
+    r"^(CRIMINAL|CIVIL) APPELLATE JURISDICTION$|^(ORIGINAL) JURISDICTION$", re.M
+)
+_CASE_BLOCK_RE = re.compile(
+    r"^((?:CRIMINAL|CIVIL) APPEAL NO\.\d+ OF \d{4})\n"
+    r"(.+?) …APPELLANT\n"
+    r"VERSUS\n"
+    r"(.+?) …RESPONDENT$",
+    re.M,
+)
+_JUDGE_LINE_RE = re.compile(r"^([A-Z]\.(?: [A-Z]\.)*) ([A-Z]+), J\.$", re.M)
+
+# ---------------------------------------------------------------------------
+# Body grammar
+# ---------------------------------------------------------------------------
+
+_DECISION_RE = re.compile(r"(challenges the judgment[^.]*?)\.")
+_CONVICTED_RE = re.compile(r"convicted under ((?:Section[^.]*?)) of the ([A-Za-z ]+?)\.")
+_SECTION_RE = re.compile(r"Section (\d+[A-Z]?)")
+_WITNESS_RE = re.compile(r"examined ([A-Z][a-z]+ [A-Z][a-z]+) \(PW-\d+\)")
+_EVIDENCE_RE = re.compile(r"weapon was recovered from ([^.]+?)\.")
+_RELIANCE_RE = re.compile(r"[Rr]eliance was placed on (.+? No\.\S+) decided by the ([^.]+?)\.")
+_ARGUMENT_RE = re.compile(r"Counsel for the (.+?) submitted that ([^.]+?)\.")
+_OPINION_RE = re.compile(r"([A-Z][a-z]+), J\. observed that ([^.]+?)\.")
+_DOJ_RE = re.compile(r"judgment was delivered on (\d{1,2}) ([A-Z][a-z]+) (\d{4})")
+
+_STATE_PREFIX = re.compile(r"(?i)^state of\b")
+
+
+def _party_type(name: str) -> str:
+    """Individual vs State party typing — the header examples at
+    prompts.py:672-685 type persons Individual and "State of ..." State."""
+    return "State" if _STATE_PREFIX.search(name.strip()) else "Individual"
+
+
+Triple = Tuple[int, str, Dict[str, str], str, str, Dict[str, str]]
+
+
+def extract_from_text(text: str) -> List[Triple]:
+    """All raw triples for one document: (span_start, node1_type,
+    node1_value, relationship, node2_type, node2_value)."""
+    triples: List[Triple] = []
+    if not text:
+        return triples
+
+    header = text[:6000]
+
+    court_m = _COURT_RE.search(header)
+    court_name: Optional[str] = court_m.group(1).strip() if court_m else None
+
+    case_blocks = list(_CASE_BLOCK_RE.finditer(header))
+    primary: Optional[Dict[str, str]] = None
+    if case_blocks:
+        cid = case_blocks[0].group(1)
+        appellant0 = case_blocks[0].group(2).strip().title()
+        respondent0 = case_blocks[0].group(3).strip().title()
+        primary = {
+            "hasCaseID": cid,
+            "hasCaseName": f"{appellant0} Versus {respondent0}",
+        }
+
+    if primary and court_name:
+        triples.append(
+            (case_blocks[0].start(), "CourtCase", dict(primary), "hasRulingOf",
+             "Court", _s(court_name))
+        )
+
+    juris_m = _JURIS_RE.search(header)
+    if juris_m and court_name:
+        jtype = (
+            "Appellant_Jurisdiction"
+            if juris_m.group(1)
+            else "Original_Jurisdiction"
+        )
+        triples.append(
+            (juris_m.start(), "Court", _s(court_name), "hasJurisdiction", jtype, _s(""))
+        )
+
+    for bi, block in enumerate(case_blocks):
+        cid = block.group(1)
+        appellant = block.group(2).strip().title()
+        respondent = block.group(3).strip().title()
+        if bi == 0:
+            # parties of the primary case
+            triples.append(
+                (block.start(2), "CourtCase", dict(primary), "hasParty",
+                 "Appellant", _s(appellant))
+            )
+            triples.append(
+                (block.start(2), "Appellant", _s(appellant), "hasPartyType",
+                 _party_type(appellant), _s(""))
+            )
+            triples.append(
+                (block.start(3), "CourtCase", dict(primary), "hasParty",
+                 "Respondent", _s(respondent))
+            )
+            triples.append(
+                (block.start(3), "Respondent", _s(respondent), "hasPartyType",
+                 _party_type(respondent), _s(""))
+            )
+        elif primary:
+            # WITH/AND -> cited (prompts.py:486,553)
+            triples.append(
+                (block.start(), "CourtCase", dict(primary), "cited",
+                 "CourtCase",
+                 {"hasCaseID": cid,
+                  "hasCaseName": f"{appellant} Versus {respondent}"})
+            )
+
+    judge_m = _JUDGE_LINE_RE.search(header)
+    judge_name: Optional[str] = None
+    if judge_m:
+        judge_name = f"{judge_m.group(1)} {judge_m.group(2).title()}"
+        if primary:
+            triples.append(
+                (judge_m.start(), "CourtCase", dict(primary), "hasJudge",
+                 "Judge", _s(judge_name))
+            )
+        if court_name:
+            triples.append(
+                (judge_m.start(), "Judge", _s(judge_name), "worksIn",
+                 "Court", _s(court_name))
+            )
+
+    # ---- body ----
+    if primary:
+        for m in _DECISION_RE.finditer(text):
+            triples.append(
+                (m.start(), "CourtCase", dict(primary), "hasFinalDecision",
+                 "Judgement", _s(m.group(1)))
+            )
+        for m in _CONVICTED_RE.finditer(text):
+            act = m.group(2).strip()
+            for sm in _SECTION_RE.finditer(m.group(1)):
+                triples.append(
+                    (m.start() + sm.start(), "CourtCase", dict(primary),
+                     "hasProvision", "Provision",
+                     _s(f"Section {sm.group(1)} of the {act}"))
+                )
+        for m in _WITNESS_RE.finditer(text):
+            triples.append(
+                (m.start(), "CourtCase", dict(primary), "hasWitness",
+                 "Witness", _s(m.group(1)))
+            )
+        for m in _EVIDENCE_RE.finditer(text):
+            triples.append(
+                (m.start(), "CourtCase", dict(primary), "hasEvidence",
+                 "Evidence", {"evidenceLocation": m.group(1).strip()})
+            )
+        for m in _RELIANCE_RE.finditer(text):
+            prior = {"hasCaseID": m.group(1).strip()}
+            triples.append(
+                (m.start(), "CourtCase", dict(primary), "cited",
+                 "CourtCase", dict(prior))
+            )
+            triples.append(
+                (m.start(), "CourtCase", dict(prior), "hasRulingOf",
+                 "Court", _s(m.group(2).strip()))
+            )
+    for m in _ARGUMENT_RE.finditer(text):
+        triples.append(
+            (m.start(), "Argument", _s(m.group(2).strip()),
+             "respondentArgument", "Respondent", _s(m.group(1).strip()))
+        )
+    for m in _OPINION_RE.finditer(text):
+        triples.append(
+            (m.start(), "Judge", _s(m.group(1)), "hasOpinion",
+             "Opinion", _s(m.group(2).strip()))
+        )
+    if court_name:
+        for m in _DOJ_RE.finditer(text):
+            triples.append(
+                (m.start(), "Court", _s(court_name), "hasDateOfJudgment",
+                 "DateOfJudgment",
+                 {"hasDate": m.group(1), "hasMonth": m.group(2),
+                  "hasYear": m.group(3)})
+            )
+    return triples
+
+
+def extract_triples(extracted_pages: DataFrame) -> DataFrame:
+    """(url, text, lang) -> raw triple rows, Arrow-batched.  Non-English pages
+    produce no triples (they flow through the pages table untouched)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: List[dict] = []
+            en = pdf[pdf["lang"] == "en"] if "lang" in pdf.columns else pdf
+            for url, text in zip(en["url"], en["text"]):
+                for (span, t1, v1, rel, t2, v2) in extract_from_text(text or ""):
+                    rows.append(
+                        {
+                            "url": url,
+                            "span_start": span,
+                            "node1_type": t1,
+                            "node1_value": v1,
+                            "relationship": rel,
+                            "node2_type": t2,
+                            "node2_value": v2,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "span_start", "node1_type", "node1_value",
+                    "relationship", "node2_type", "node2_value",
+                ],
+            )
+
+    cols = [c for c in ("url", "text", "lang") if c in extracted_pages.columns]
+    return extracted_pages.select(*cols).mapInPandas(
+        _extract, schema=RAW_TRIPLES_SCHEMA
+    )

@@ -1,0 +1,361 @@
+"""Entity linking, canonicalization and node/edge construction (M1, R1-R3).
+
+Reference behavior being re-expressed (not ported):
+
+- ``merge_node`` (kg_creator/src/utils.py:325-427): 3-stage linking — BM25
+  over the constrained-key corpus for labels with a uniqueness constraint
+  (only ``CourtCase.hasCaseID``, utils.py:176-199), exact fallback, then MERGE
+  on constraint keys or on the full property bag.  Property coalescing: an
+  empty incoming value adopts the stored one (utils.py:366-372,386-391).
+- ``refine_nodes`` (refine_nodes.py:27-96): kNN similarity per node + LLM +
+  human gate deciding merges; ``merge_by_id`` (utils.py:675-739) rewires
+  edges, only when the two label sets are equal.
+
+Spark-first design:
+
+1. Every mention gets a deterministic content key (``pre_key`` = sha256 of
+   labels + canonical props) — exact duplicates collapse in one shuffle-free
+   hash (replaces MERGE-on-all-props).
+2. *Identity text* per node: ``hasCaseID`` for CourtCase (the constrained
+   key), the full canonical bag otherwise; normalized (lowercase, punctuation,
+   abbreviation expansion — the reference's intended-but-stubbed tool,
+   tools.py:1-7 over /root/reference/Abbrevations).
+3. Candidate pairs via a token inverted index *within identical label sets*
+   (the ``merge_by_id`` label-equality guard): two nodes pair when the smaller
+   token set is fully contained in the larger — the deterministic analog of
+   "BM25 top-1 score > 1 ⇒ adopt" (utils.py:363-365) and of the kNN-0.6 gate.
+   Nodes whose only property is free ``text`` never fuzzy-link (the human gate
+   would reject merging prose nodes).
+4. Skew/scale controls: tokens with document frequency above ``max_token_df``
+   are dropped from the index (head tokens like "state" would otherwise build
+   quadratic candidate blocks — this is the salting discipline for the
+   head-entity hot keys), and pair generation is bounded per token.
+5. Connected components over accepted pairs — iterative min-key propagation on
+   DataFrames (alternating rounds with localCheckpoint), no GraphFrames
+   dependency.  Component count per block is tiny; convergence is O(log n).
+6. Consolidation: per component per property, keep the longest non-empty value
+   (deterministic stand-in for "adopt the stored value", which in a batch
+   engine has no temporal order); final ``node_key`` is content-derived from
+   the consolidated bag so reruns and resumes are idempotent.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..fixtures import ABBREVIATIONS
+
+STOP_TOKENS = ("of", "the", "")
+
+_ABBREV_LOWER = {k.lower(): v.lower() for k, v in ABBREVIATIONS.items()}
+_ABBREV_RE = (
+    "(?<![a-z0-9])(?:"
+    + "|".join(re.escape(k) for k in sorted(_ABBREV_LOWER, key=len, reverse=True))
+    + ")(?![a-z0-9])"
+)
+
+
+def normalize_identity(s: pd.Series) -> pd.Series:
+    """Vectorized: lowercase, expand abbreviations, strip commas, collapse
+    whitespace.  One alternation regex covers the whole dictionary in a
+    single pass (238 entries in the reference's list scale the same way)."""
+    out = s.fillna("").str.lower().str.replace(",", " ", regex=False)
+    out = out.str.replace(
+        _ABBREV_RE, lambda m: _ABBREV_LOWER[m.group(0)], regex=True
+    )
+    return out.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def normalize_identity_str(s: str) -> str:
+    return normalize_identity(pd.Series([s])).iloc[0]
+
+
+# ---------------------------------------------------------------------------
+# column helpers
+# ---------------------------------------------------------------------------
+
+
+def canon_props_col(props_col: str):
+    """Canonical bag: empty values dropped."""
+    return F.map_filter(F.col(props_col), lambda k, v: v != F.lit(""))
+
+
+def canon_str_col(canon_col: str):
+    """Stable string form of a canonical bag (sorted k:v entries)."""
+    return F.concat_ws(
+        "\x1f",
+        F.sort_array(
+            F.transform(
+                F.map_entries(F.col(canon_col)),
+                lambda e: F.concat(e.key, F.lit(":"), e.value),
+            )
+        ),
+    )
+
+
+def identity_text_col(head_col: str, canon_col: str):
+    """CourtCase identifies by hasCaseID (its constrained key); everything
+    else by the full canonical bag values in key order."""
+    case_id = F.element_at(F.col(canon_col), F.lit("hasCaseID"))
+    bag = F.concat_ws(
+        " ",
+        F.transform(
+            F.sort_array(F.map_entries(F.col(canon_col))), lambda e: e.value
+        ),
+    )
+    return F.when(
+        (F.col(head_col) == "CourtCase") & case_id.isNotNull(), case_id
+    ).otherwise(bag)
+
+
+# ---------------------------------------------------------------------------
+# main entry
+# ---------------------------------------------------------------------------
+
+
+def mentions_frame(assigned: DataFrame) -> DataFrame:
+    """Two mention rows per validated triple, with pre_key + identity."""
+    sides = []
+    for side in ("1", "2"):
+        sides.append(
+            assigned.select(
+                "url",
+                "triple_id",
+                F.lit(side).alias("side"),
+                F.col(f"node{side}_type").alias("head_label"),
+                F.col(f"node{side}_labels").alias("labels"),
+                F.col(f"node{side}_props").alias("props"),
+            )
+        )
+    m = sides[0].unionByName(sides[1])
+    m = m.withColumn("canon", canon_props_col("props"))
+    m = m.withColumn("labels_str", F.concat_ws(",", "labels"))
+    m = m.withColumn(
+        "pre_key",
+        F.sha2(F.concat_ws("||", F.col("labels_str"), canon_str_col("canon")), 256),
+    )
+    m = m.withColumn("identity", identity_text_col("head_label", "canon"))
+    return m
+
+
+def connected_components(
+    pairs: DataFrame, node_keys: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(a, b) accepted pairs + (pre_key) universe -> (pre_key, comp) with
+    comp = min pre_key of the component.  Driver-side loop over DataFrames;
+    data never leaves the cluster."""
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    sym = sym.localCheckpoint()
+    comp = node_keys.select(
+        F.col("pre_key"), F.col("pre_key").alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(comp, sym["src"] == comp["pre_key"])
+            .select(F.col("dst").alias("pre_key"), "comp")
+        )
+        new = (
+            comp.unionByName(msgs)
+            .groupBy("pre_key")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new.join(comp.withColumnRenamed("comp", "old"), "pre_key")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp
+
+
+def build_graph(
+    assigned: DataFrame,
+    max_token_df: int = 10_000,
+) -> Dict[str, DataFrame]:
+    """assigned triples -> {nodes, edges, mapping}.
+
+    nodes  : node_key, head_label, labels array, props map (canonical)
+    edges  : src_key, relationship, dst_key, url, span_start, triple_id
+    mapping: pre_key -> node_key
+    """
+    mentions = mentions_frame(assigned)
+
+    nodes0 = (
+        mentions.groupBy("labels_str", "head_label", "pre_key")
+        .agg(F.first("canon", ignorenulls=True).alias("props"),
+             F.first("identity", ignorenulls=True).alias("identity"),
+             F.first("labels", ignorenulls=True).alias("labels"))
+    )
+
+    # normalized identity tokens (Arrow-batched, single regex pass)
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "pre_key": pdf["pre_key"],
+                    "norm_identity": normalize_identity(pdf["identity"]),
+                }
+            )
+
+    norm = nodes0.select("pre_key", "identity").mapInPandas(
+        _norm, schema="pre_key string, norm_identity string"
+    )
+    nodes0 = nodes0.join(norm, "pre_key")
+    nodes0 = nodes0.withColumn(
+        "tokens",
+        F.array_except(
+            F.split(F.col("norm_identity"), " "),
+            F.array(*[F.lit(t) for t in STOP_TOKENS]),
+        ),
+    ).localCheckpoint()
+
+    # fuzzy linking only for entity-like nodes (not free-text nodes)
+    linkable = nodes0.filter(
+        ~(
+            (F.size(F.map_keys(F.col("props"))) == 1)
+            & (F.element_at(F.map_keys(F.col("props")), 1) == "text")
+        )
+        & (F.size("tokens") > 0)
+    )
+
+    tok = linkable.select(
+        "labels_str", "pre_key", F.explode("tokens").alias("token")
+    )
+    # skew guard: drop head tokens (salting discipline for hot keys)
+    tok_df = tok.groupBy("labels_str", "token").agg(F.count("*").alias("df"))
+    tok = tok.join(
+        F.broadcast(tok_df.filter(F.col("df") <= max_token_df)),
+        ["labels_str", "token"],
+        "left_semi",
+    )
+    a = tok.select(
+        "labels_str", "token", F.col("pre_key").alias("a")
+    )
+    b = tok.select(
+        "labels_str", "token", F.col("pre_key").alias("b")
+    )
+    shared = (
+        a.join(b, ["labels_str", "token"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = linkable.select("pre_key", F.size("tokens").alias("ntok"))
+    pairs = (
+        shared.join(sizes.withColumnRenamed("pre_key", "a").withColumnRenamed("ntok", "na"), "a")
+        .join(sizes.withColumnRenamed("pre_key", "b").withColumnRenamed("ntok", "nb"), "b")
+        .filter(F.col("shared") == F.least(F.col("na"), F.col("nb")))
+        .select("a", "b")
+    )
+
+    comp = connected_components(pairs, nodes0.select("pre_key"))
+
+    member = nodes0.join(comp, "pre_key")
+
+    entries = (
+        member.select("comp", F.explode(F.map_entries("props")).alias("e"))
+        .select("comp", F.col("e.key").alias("pkey"), F.col("e.value").alias("pval"))
+        .filter(F.col("pval") != "")
+        .groupBy("comp", "pkey")
+        .agg(
+            F.expr(
+                "max_by(pval, struct(length(pval) as l, pval as v))"
+            ).alias("pval")
+        )
+    )
+    props_c = entries.groupBy("comp").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("pkey", "pval")))
+        ).alias("props")
+    )
+    comp_meta = member.groupBy("comp").agg(
+        F.min("labels_str").alias("labels_str"),
+        F.first("labels", ignorenulls=True).alias("labels"),
+        F.first("head_label", ignorenulls=True).alias("head_label"),
+    )
+    nodes = (
+        comp_meta.join(props_c, "comp", "left")
+        .withColumn(
+            "props",
+            F.coalesce(F.col("props"), F.expr("map()")),
+        )
+        .withColumn(
+            "node_key",
+            F.sha2(
+                F.concat_ws("||", F.col("labels_str"), canon_str_col("props")),
+                256,
+            ),
+        )
+    )
+    mapping = member.select("pre_key", "comp").join(
+        nodes.select("comp", "node_key"), "comp"
+    ).select("pre_key", "node_key")
+
+    nodes_final = nodes.select("node_key", "head_label", "labels", "props").dropDuplicates(
+        ["node_key"]
+    )
+
+    src = mentions.filter(F.col("side") == "1").select(
+        "triple_id", F.col("pre_key").alias("src_pre")
+    )
+    dst = mentions.filter(F.col("side") == "2").select(
+        "triple_id", F.col("pre_key").alias("dst_pre")
+    )
+    edges = (
+        assigned.select("url", "span_start", "triple_id", "relationship")
+        .join(src, "triple_id")
+        .join(dst, "triple_id")
+        .join(
+            mapping.withColumnRenamed("pre_key", "src_pre").withColumnRenamed(
+                "node_key", "src_key"
+            ),
+            "src_pre",
+        )
+        .join(
+            mapping.withColumnRenamed("pre_key", "dst_pre").withColumnRenamed(
+                "node_key", "dst_key"
+            ),
+            "dst_pre",
+        )
+        .select("src_key", "relationship", "dst_key", "url", "span_start", "triple_id")
+    )
+    return {"nodes": nodes_final, "edges": edges, "mapping": mapping}
+
+
+def triple_set(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Final canonical (subj_label, subj_props, pred, obj_label, obj_props)
+    view — the comparator form (FIXTURES.md §2; mirrors get_graph,
+    utils.py:582-600)."""
+    s = nodes.select(
+        F.col("node_key").alias("src_key"),
+        F.col("head_label").alias("subj_label"),
+        F.col("props").alias("subj_props"),
+    )
+    o = nodes.select(
+        F.col("node_key").alias("dst_key"),
+        F.col("head_label").alias("obj_label"),
+        F.col("props").alias("obj_props"),
+    )
+    # map columns can't feed set ops — dedupe on the content keys instead
+    return (
+        edges.join(s, "src_key")
+        .join(o, "dst_key")
+        .dropDuplicates(["src_key", "relationship", "dst_key"])
+        .select(
+            "subj_label",
+            "subj_props",
+            F.col("relationship").alias("pred"),
+            "obj_label",
+            "obj_props",
+        )
+    )

@@ -1,0 +1,153 @@
+"""End-to-end KG-construction pipeline (replaces the LangGraph DAG).
+
+pages scan -> byte-identical text extraction -> triple extraction (per
+document, Arrow-batched) -> ontology validation (broadcast joins) -> property
+assignment + titlecase -> entity linking + connected-component
+canonicalization -> node/edge tables (+ Paragraph subgraph, lineage).
+
+The reference runs this as a sequential per-chunk LLM loop with per-triple
+Neo4j transactions (kg_creator/src/tasks.py:21-44 DAG; ~6 round-trips/triple);
+here the only wide operations are: one shuffle for chunk windowing (by url),
+one for the linking token index, one per connected-components round, and the
+final consolidation groupBys — all keyed on url/node hashes, salted/df-capped
+for head entities.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ontology import Ontology, load_ontology
+from .operators import linking, materialize, properties, validate
+from .operators.chunker import chain_chunks, chunk_pages
+from .operators.extract import extract_triples
+from .sources.pages import extract_pages
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    onto: Optional[Ontology] = None,
+    with_paragraphs: bool = True,
+    writer: Optional[materialize.GraphWriter] = None,
+) -> Dict[str, DataFrame]:
+    """Full run; returns all intermediate + final DataFrames (lazily built —
+    nothing executes until an action)."""
+    onto = onto or load_ontology()
+
+    extracted = extract_pages(pages)
+    raw = extract_triples(extracted)
+    v = validate.validate_triples(spark, raw, onto)
+    assigned = properties.assign_and_titlecase(v["validated"])
+    graph = linking.build_graph(assigned)
+    nodes, edges = graph["nodes"], graph["edges"]
+
+    out: Dict[str, DataFrame] = {
+        "extracted": extracted,
+        "raw_triples": raw,
+        "validated": v["validated"],
+        "isa": v["isa"],
+        "rejected": v["rejected"],
+        "assigned": assigned,
+        "nodes": nodes,
+        "edges": edges,
+        "triple_set": linking.triple_set(nodes, edges),
+    }
+
+    if with_paragraphs:
+        chunks = chain_chunks(chunk_pages(extracted))
+        out["chunks"] = chunks
+        out["paragraph_nodes"] = materialize.paragraph_nodes(chunks)
+        case_nodes = primary_case_nodes(assigned, graph["mapping"])
+        out["paragraph_edges"] = materialize.paragraph_edges(chunks, case_nodes)
+        out["part_of_edges"] = materialize.part_of_edges(edges, chunks)
+
+    if writer is not None:
+        persist_graph(spark, out, writer)
+    return out
+
+
+def primary_case_nodes(assigned: DataFrame, mapping: DataFrame) -> DataFrame:
+    """(url, node_key) of each document's primary CourtCase — the subject of
+    the document's hasRulingOf triple (header), for hasParagraph edges."""
+    m = linking.mentions_frame(assigned)
+    primary = (
+        assigned.filter(
+            (F.col("relationship") == "hasRulingOf")
+            & (F.col("node1_type") == "CourtCase")
+        )
+        .select("url", "triple_id")
+        .join(m.filter(F.col("side") == "1").select("triple_id", "pre_key"), "triple_id")
+        .join(mapping, "pre_key")
+        .select("url", "node_key")
+        .dropDuplicates(["url"])
+    )
+    return primary
+
+
+def persist_graph(
+    spark: SparkSession, out: Dict[str, DataFrame], writer: materialize.GraphWriter
+) -> None:
+    """Write node/edge (+paragraph) tables with per-stage lineage counts."""
+    n_nodes = out["nodes"].count()
+    writer.write("nodes", out["nodes"], key="node_key")
+    n_edges = out["edges"].count()
+    writer.write("edges", out["edges"], key="url")
+    metrics = {"nodes": n_nodes, "edges": n_edges}
+    if "paragraph_nodes" in out:
+        writer.write("paragraph_nodes", out["paragraph_nodes"], key="node_key")
+        all_aux = out["paragraph_edges"].unionByName(out["part_of_edges"])
+        writer.write("paragraph_edges", all_aux, key="url")
+    writer.append_lineage(spark, "persist_graph", metrics)
+
+
+# ---------------------------------------------------------------------------
+# comparator (the P/R gate of BASELINE.json)
+# ---------------------------------------------------------------------------
+
+
+def _canon_key(df: DataFrame, subj: str, sprops: str, pred: str, obj: str, oprops: str):
+    def canon(col):
+        return F.concat_ws(
+            "\x1f",
+            F.sort_array(
+                F.transform(
+                    F.map_entries(
+                        F.map_filter(F.col(col), lambda k, v: v != F.lit(""))
+                    ),
+                    lambda e: F.concat(e.key, F.lit("="), e.value),
+                )
+            ),
+        )
+
+    return df.select(
+        F.concat_ws(
+            "\x00",
+            F.col(subj),
+            canon(sprops),
+            F.col(pred),
+            F.col(obj),
+            canon(oprops),
+        ).alias("k")
+    ).distinct()
+
+
+def triple_precision_recall(
+    actual: DataFrame, expected: DataFrame
+) -> Dict[str, float]:
+    """Order-insensitive set P/R on canonical (subj, pred, obj) triples."""
+    a = _canon_key(actual, "subj_label", "subj_props", "pred", "obj_label", "obj_props")
+    e = _canon_key(expected, "subj_label", "subj_props", "pred", "obj_label", "obj_props")
+    n_a = a.count()
+    n_e = e.count()
+    n_i = a.join(e, "k", "inner").count()
+    return {
+        "precision": n_i / n_a if n_a else 0.0,
+        "recall": n_i / n_e if n_e else 0.0,
+        "actual": n_a,
+        "expected": n_e,
+        "matched": n_i,
+    }

@@ -1,0 +1,110 @@
+"""End-to-end gates from BASELINE.json:
+
+1. byte-identical extracted text per url (input_hint invariant);
+2. triple-set P/R >= 0.95 against the fixture ground truth;
+3. deterministic node/edge keys -> rerun-idempotence (resume precondition);
+4. Paragraph subgraph (next/previous chain, part_of range join);
+5. non-English pages pass through unextracted.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontologybasedkgcreation_spark import fixtures, pipeline
+from ontologybasedkgcreation_spark.sources.pages import extract_pages
+
+N_PAGES = 20
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    pages, expected = fixtures.pages_df(spark, N_PAGES, non_en_every=10)
+    out = pipeline.run_pipeline(spark, pages, with_paragraphs=True)
+    out["triple_set"] = out["triple_set"].cache()
+    return pages, expected, out
+
+
+def test_byte_identical_text(spark, run):
+    pages, _, out = run
+    ext = out["extracted"].select("url", F.col("text").alias("t2"))
+    diff = (
+        pages.select("url", "text")
+        .join(ext, "url")
+        .filter(
+            F.sha2(F.col("text"), 256) != F.sha2(F.col("t2"), 256)
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_triple_pr_gate(run):
+    _, expected, out = run
+    pr = pipeline.triple_precision_recall(out["triple_set"], expected)
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
+
+
+def test_non_english_passthrough(run):
+    _, _, out = run
+    assert (
+        out["raw_triples"].filter(F.col("url").contains("/hi/")).count() == 0
+    )
+    # but the pages still flow through extraction untouched
+    assert out["extracted"].filter(F.col("lang") == "hi").count() > 0
+
+
+def test_rerun_idempotence(spark, run):
+    pages, _, out = run
+    out2 = pipeline.run_pipeline(spark, pages, with_paragraphs=False)
+    k1 = {r["node_key"] for r in out["nodes"].select("node_key").collect()}
+    k2 = {r["node_key"] for r in out2["nodes"].select("node_key").collect()}
+    assert k1 == k2
+    e1 = {
+        (r["src_key"], r["relationship"], r["dst_key"])
+        for r in out["edges"].collect()
+    }
+    e2 = {
+        (r["src_key"], r["relationship"], r["dst_key"])
+        for r in out2["edges"].collect()
+    }
+    assert e1 == e2
+
+
+def test_paragraph_chain(run):
+    _, _, out = run
+    chunks = out["chunks"]
+    # per url: n-1 next edges and n-1 previous edges
+    n_chunks = chunks.count()
+    n_urls = chunks.select("url").distinct().count()
+    chain = out["paragraph_edges"].filter(
+        F.col("relationship").isin("next", "previous")
+    )
+    assert chain.count() == 2 * (n_chunks - n_urls)
+
+
+def test_part_of_edges_point_into_containing_chunk(run):
+    _, _, out = run
+    po = out["part_of_edges"]
+    chunks = out["chunks"].select(
+        F.col("chunk_id").alias("dst_key"), "char_start", "char_end"
+    )
+    bad = (
+        po.join(chunks, "dst_key")
+        .filter(
+            (F.col("span_start") < F.col("char_start"))
+            | (F.col("span_start") >= F.col("char_end"))
+        )
+        .count()
+    )
+    assert bad == 0
+    assert po.count() > 0
+
+
+def test_has_paragraph_edges(run):
+    _, _, out = run
+    hp = out["paragraph_edges"].filter(F.col("relationship") == "hasParagraph")
+    # every english url's chunks hang off its primary CourtCase
+    assert hp.select("url").distinct().count() == out["raw_triples"].select(
+        "url"
+    ).distinct().count()
