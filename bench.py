@@ -1,0 +1,89 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline load: the KG-construction pipeline (pages -> canonical graph) on
+deterministic synthetic judgment pages, plus representative operator queries
+over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "pages_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_PAGES = int(os.environ.get("BENCH_PAGES", "400"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "chunk_chain",
+    "dedup_exact",
+    "dedup_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "embedding_topk",
+    "lang_id",
+    "token_stats",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from ontologybasedkgcreation_spark import fixtures, pipeline
+    from ontologybasedkgcreation_spark.session import get_spark
+
+    spark = get_spark(
+        "ontokg-bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # headline: KG pipeline pages/sec
+    pages, _ = fixtures.pages_df(spark, N_PAGES, partitions=int(CPUS) * 2)
+    pages = pages.cache()
+    n_pages = pages.count()  # materialize input outside the timed region
+    t0 = time.time()
+    out = pipeline.run_pipeline(spark, pages, with_paragraphs=True)
+    n_edges = out["edges"].count()
+    n_nodes = out["nodes"].count()
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline+operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "pages": n_pages,
+                "pages_per_sec": round(n_pages / kg_sec, 2),
+                "nodes": n_nodes,
+                "edges": n_edges,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,232 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all DataFrame-declarative (shuffles only on content keys, AQE
+skew-handled), engineered for the 100 TB case:
+
+- exact:          sha256(text) groupBy — one shuffle, map-side combinable.
+- n-gram Jaccard: shingle inverted index -> shared-shingle pair join ->
+                  Jaccard filter.  The index is df-capped (drop shingles with
+                  document frequency above ``max_df``) which both bounds the
+                  quadratic blow-up of hot shingles AND is the standard
+                  prefix-filtering-style correctness/scale tradeoff.
+- MinHash + LSH:  k per-shingle hashes -> per-doc minima -> banded bucket
+                  join.  Hashes are lexicographic minima of md5(shingle||seed)
+                  hex strings — deterministic, engine-portable (the DuckDB
+                  oracle computes the identical signature), no Python.
+- SimHash:        64-bit token-weighted signature in a vectorized pandas UDF;
+                  near-dup candidates via 4x16-bit band equality (Hamming<=3
+                  standard trick), then exact Hamming verify with built-in
+                  bit ops.
+
+The reference repo has no dedup (its "refine" kNN pass, refine_nodes.py:27-96,
+is entity canonicalization — covered by operators/linking.py); these operators
+extend the engine to the web-scale ingestion ahead of KG construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One survivor (min id) per identical text; count of clones kept."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (pure built-ins)."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """(a, b, jaccard) pairs with Jaccard(shingle sets) >= threshold."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("nsh"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    idx = sh.join(
+        F.broadcast(freq.filter(F.col("df") <= max_df).select("shingle")),
+        "shingle",
+        "left_semi",
+    )
+    a = idx.select(F.col("doc").alias("a"), "shingle")
+    b = idx.select(F.col("doc").alias("b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc").alias("a"), F.col("nsh").alias("na")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("nsh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """(doc, seed, minhash): per-doc minimum of md5(shingle || '#' || seed).
+    String-ordered md5 minima are a valid permutation-min proxy and are
+    byte-identical across engines (the oracle recomputes them in SQL)."""
+    seeded = sh.withColumn(
+        "seed", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1)))
+    ).withColumn(
+        "h", F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed")))
+    )
+    return seeded.groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any full LSH band."""
+    sh = shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, bands * rows_per_band)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(
+                "|", F.array_sort(F.collect_list(F.col("minhash")))
+            ).alias("band_sig")
+        )
+    )
+    a = banded.select(F.col("doc").alias("a"), "band", "band_sig")
+    b = banded.select(F.col("doc").alias("b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched numpy; no per-row Python
+    beyond the tokenizer split)."""
+
+    def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[int] = []
+            for text in pdf[text_col]:
+                toks = (text or "").split()
+                if not toks:
+                    out.append(0)
+                    continue
+                # stable 64-bit token hashes
+                hs = np.array(
+                    [hash_token(t) for t in set(toks)], dtype=np.uint64
+                )
+                bits = (
+                    (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int64)
+                acc = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(
+                    np.uint64
+                )
+                val = np.uint64(0)
+                for i in range(64):
+                    val |= np.uint64(acc[i]) << np.uint64(i)
+                out.append(int(np.int64(val)))
+            yield pd.DataFrame({"doc": pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _sim, schema="doc long, simhash long"
+    )
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 64-bit token hash (md5 prefix) — no PYTHONHASHSEED
+    dependence."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+    )
+
+
+def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by banded SimHash: 4x16-bit bands guarantee recall for
+    Hamming distance <= 3; exact popcount verify after the band join."""
+    bands = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(4)])
+        ).alias("band"),
+    ).withColumn(
+        "band_bits",
+        F.expr("shiftrightunsigned(simhash, band * 16) & 65535"),
+    )
+    a = bands.select(
+        F.col("doc").alias("a"), F.col("simhash").alias("sim_a"), "band", "band_bits"
+    )
+    b = bands.select(
+        F.col("doc").alias("b"), F.col("simhash").alias("sim_b"), "band", "band_bits"
+    )
+    cand = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")

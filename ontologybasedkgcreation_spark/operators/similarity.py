@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how a production pipeline scales ANN:
+
+- brute-force cosine top-k: exact baseline — JVM-side ``zip_with`` dot
+  product + ``aggregate`` norms, global top-k via one sort (or per-partition
+  top-k + merge under AQE).  O(N·d) but embarrassingly parallel; correct
+  reference for recall measurement.
+- IVF (inverted-file) top-k: probe only the query's cluster partition(s)
+  (the ``label`` column of the embeddings table is the cluster assignment —
+  at 100 TB this is a KMeans-assigned centroid id and becomes the table's
+  partition key, so the scan prunes to 1/n_clusters of the data).
+- cosine near-dup pairs: embedding-space analog of dedup — block by cluster,
+  pair within block, cosine >= threshold.
+
+The reference's analog is Qdrant kNN (k=5, cosine, dim 768 — refine_nodes.py:
+45-57, vector_store.py:13); here the vectors live in a column and the search
+is a DataFrame plan Catalyst can prune/push down.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def with_cosine(
+    df: DataFrame, query_vec: Sequence[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """+ ``cosine`` column vs a literal query vector (JVM-side, codegen)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.withColumn(
+        "cosine",
+        _dot(F.col(vec_col).cast("array<double>"), q)
+        / (_norm(F.col(vec_col).cast("array<double>")) * _norm(q)),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: Optional[int] = None,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine (rank, id, cosine)."""
+    scored = with_cosine(df, query_vec, vec_col)
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return (
+        scored.orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    query_label: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_probe: int = 1,
+    exclude_id: Optional[int] = None,
+) -> DataFrame:
+    """IVF: restrict search to the query's cluster (plus optional neighbor
+    probes).  The ``label_col`` filter is a partition-pruning predicate when
+    the table is partitioned by cluster id — the 100 TB scale path."""
+    probes = [query_label + i for i in range(n_probe)]
+    pruned = df.filter(F.col(label_col).isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_id)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding near-duplicate pairs within blocks: (a, b, cosine)."""
+    v = df.select(
+        F.col(id_col).alias("a"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    w = df.select(
+        F.col(id_col).alias("b"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    return (
+        v.join(w, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,170 @@
+"""Checkpointed, resumable execution with per-partition lineage.
+
+North-rule requirement: "resumable from checkpoint with per-partition lineage
++ metrics so any executor failure replays only unfinished partitions."
+
+Design (replaces the reference's Celery retry-the-whole-PDF model,
+kg_creator/src/tasks.py:86-123):
+
+- The *expensive, embarrassingly-parallel* stage — text extraction, triple
+  extraction, validation, property assignment (~all the CPU at 10^12 pages) —
+  is checkpointed: pages are bucketed by ``pmod(xxhash64(url), n_buckets)``
+  and the per-url stage output is written bucket-by-bucket with dynamic
+  partition overwrite (idempotent per bucket).  A ``_lineage`` table records
+  (stage, bucket, rows, wall-clock) after each bucket lands; on restart,
+  finished buckets are anti-joined away and only the remainder replays.
+
+- The *global reduce* — linking, connected components, consolidation,
+  node/edge tables — is a deterministic function of the checkpointed triples
+  (content-hashed keys, order-insensitive aggregates), so it is simply re-run
+  over the full checkpoint table; at cluster scale this is the cheap stage
+  (entity-keyed shuffles over the already-distilled triples, a tiny fraction
+  of page bytes).
+
+Idempotence invariant (tested): crash-and-resume produces byte-identical
+node/edge tables to a single-shot run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ontology import Ontology, load_ontology
+from ..operators import linking, properties, validate
+from ..operators.extract import extract_triples
+from ..sources.pages import extract_pages
+
+ASSIGNED_STAGE = "assigned_triples"
+
+
+class CheckpointedPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        onto: Optional[Ontology] = None,
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.base_path = base_path
+        self.onto = onto or load_ontology()
+        self.n_buckets = n_buckets
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- lineage ------------------------------------------------------------
+
+    @property
+    def lineage_path(self) -> str:
+        return os.path.join(self.base_path, "_lineage")
+
+    def done_buckets(self, stage: str) -> List[int]:
+        try:
+            df = self.spark.read.parquet(self.lineage_path)
+        except Exception:
+            return []
+        # lineage is only valid for the bucketing it was written under —
+        # a different n_buckets re-hashes urls, so stale rows must not
+        # mark anything done (probe-found hazard)
+        return [
+            r["bucket"]
+            for r in df.filter(
+                (F.col("stage") == stage)
+                & (F.col("n_buckets") == self.n_buckets)
+            )
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]
+
+    def _mark_done(self, stage: str, rows_per_bucket: Dict[int, int]) -> None:
+        now = time.time()
+        recs = [
+            (stage, int(b), int(n), float(now), int(self.n_buckets))
+            for b, n in rows_per_bucket.items()
+        ]
+        self.spark.createDataFrame(
+            recs,
+            "stage string, bucket int, rows long, finished_at double, "
+            "n_buckets int",
+        ).write.mode("append").parquet(self.lineage_path)
+
+    # -- stage 1: per-url checkpointed triples -------------------------------
+
+    def _bucketed(self, pages: DataFrame) -> DataFrame:
+        return pages.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def run_assigned_stage(
+        self, pages: DataFrame, fail_after_buckets: Optional[int] = None
+    ) -> str:
+        """Process only pending buckets; returns the checkpoint path.
+
+        ``fail_after_buckets`` limits how many pending buckets are processed
+        this call — the crash-injection hook for resume tests.
+        """
+        out_path = os.path.join(self.base_path, ASSIGNED_STAGE)
+        pages_b = self._bucketed(pages)
+        done = set(self.done_buckets(ASSIGNED_STAGE))
+        all_buckets = [
+            r["bucket"] for r in pages_b.select("bucket").distinct().collect()
+        ]
+        pending = sorted(b for b in all_buckets if b not in done)
+        if fail_after_buckets is not None:
+            pending = pending[:fail_after_buckets]
+        if not pending:
+            return out_path
+
+        subset = pages_b.filter(F.col("bucket").isin([int(b) for b in pending]))
+        extracted = extract_pages(subset)
+        raw = extract_triples(extracted)
+        v = validate.validate_triples(self.spark, raw, self.onto)
+        assigned = properties.assign_and_titlecase(v["validated"])
+        assigned = assigned.join(
+            pages_b.select("url", "bucket"), "url"
+        )
+        (
+            assigned.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_path)
+        )
+        # per-bucket lineage metrics recorded only after the write committed
+        counts = {
+            r["bucket"]: r["n"]
+            for r in self.spark.read.parquet(out_path)
+            .filter(F.col("bucket").isin([int(b) for b in pending]))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for b in pending:
+            counts.setdefault(b, 0)
+        self._mark_done(ASSIGNED_STAGE, counts)
+        return out_path
+
+    # -- stage 2: global graph reduce ----------------------------------------
+
+    def build_graph(self) -> Dict[str, DataFrame]:
+        assigned = self.spark.read.parquet(
+            os.path.join(self.base_path, ASSIGNED_STAGE)
+        ).drop("bucket")
+        return linking.build_graph(assigned)
+
+    # -- whole run ------------------------------------------------------------
+
+    def run(self, pages: DataFrame) -> Dict[str, DataFrame]:
+        self.run_assigned_stage(pages)
+        return self.build_graph()
+
+    def status(self) -> str:
+        done = self.done_buckets(ASSIGNED_STAGE)
+        return json.dumps(
+            {"stage": ASSIGNED_STAGE, "done_buckets": sorted(done)}
+        )
