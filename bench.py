@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_PAGES = int(os.environ.get("BENCH_PAGES", "400"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "1000"))
+PAGE_CHARS = int(os.environ.get("BENCH_PAGE_CHARS", "20000"))
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -49,7 +50,8 @@ def main() -> int:
     timings: dict[str, float] = {}
 
     # headline: KG pipeline pages/sec
-    pages, _ = fixtures.pages_df(spark, N_PAGES, partitions=int(CPUS) * 2)
+    pages = fixtures.pages_df_distributed(spark, N_PAGES, partitions=int(CPUS) * 2,
+                                      target_chars=PAGE_CHARS)
     pages = pages.cache()
     n_pages = pages.count()  # materialize input outside the timed region
     t0 = time.time()

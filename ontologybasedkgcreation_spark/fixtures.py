@@ -177,7 +177,7 @@ def _page_spec(i: int) -> dict:
     }
 
 
-def _page_text(s: dict) -> str:
+def _page_text(s: dict, target_chars: int = 4200) -> str:
     a_first, a_last = s["appellant"]
     j_init, j_last = s["judge"]
     w_first, w_last = s["witness"]
@@ -239,10 +239,16 @@ def _page_text(s: dict) -> str:
         FILLER_SENTENCES[7],
         f"The judgment was delivered on {d} {mon} {yr}.",
     ]
-    # pad to guarantee multiple 1200-char chunks (chunker parity, utils.py:910)
+    # pad to guarantee multiple 1200-char chunks (chunker parity,
+    # utils.py:910); target_chars > default simulates realistic 10-100 KB
+    # web pages for compute-bound benchmarks (filler never matches any
+    # extraction pattern, so ground truth is unchanged)
     k = 0
-    while sum(len(x) + 1 for x in body) < 4200:
-        body.append(FILLER_SENTENCES[k % len(FILLER_SENTENCES)])
+    total = sum(len(x) + 1 for x in body)
+    while total < max(target_chars, 4200):
+        s_add = FILLER_SENTENCES[k % len(FILLER_SENTENCES)]
+        body.append(s_add)
+        total += len(s_add) + 1
         k += 1
     return "\n".join(lines) + "\n" + " ".join(body)
 
@@ -422,3 +428,37 @@ def pages_df(spark, n_pages: int, non_en_every: int = 10, partitions: int | None
     if partitions:
         pdf = pdf.repartition(partitions, "url")
     return pdf, edf
+
+
+def pages_df_distributed(spark, n_pages: int, non_en_every: int = 10,
+                         partitions: int | None = None,
+                         target_chars: int = 4200):
+    """Executor-side page generation — the driver never materializes the
+    corpus, so bench inputs scale to millions of pages (each page is a pure
+    function of its index).  Returns only the pages DataFrame; ground truth
+    at bench scale is unnecessary (correctness runs at test scale)."""
+    import pandas as pd
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if non_en_every and i % non_en_every == non_en_every - 1:
+                    rows.append(
+                        _page_row(
+                            f"https://judgments.example.org/hi/{i}.html",
+                            i, HINDI_FILLER * 40, "hi",
+                        )
+                    )
+                else:
+                    s = _page_spec(i)
+                    rows.append(
+                        _page_row(s["url"], i, _page_text(s, target_chars), "en")
+                    )
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(n_pages)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(_gen, schema=PAGES_SCHEMA_DDL)

@@ -42,10 +42,10 @@ Spark-first design:
 from __future__ import annotations
 
 import re
-from typing import Dict, Iterator
+from typing import Dict
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..fixtures import ABBREVIATIONS
@@ -75,26 +75,82 @@ def normalize_identity_str(s: str) -> str:
     return normalize_identity(pd.Series([s])).iloc[0]
 
 
+def normalize_identity_expr(col, abbrevs: Dict[str, str] | None = None):
+    """JVM-side (whole-stage-codegen) equivalent of :func:`normalize_identity`
+    — a chain of ``regexp_replace`` per abbreviation entry.  Chosen over the
+    pandas UDF on the hot path so node-identity normalization never leaves
+    the JVM; the pandas variant remains for tests and very large external
+    dictionaries (a 238-entry chain still codegens, but a many-thousand-entry
+    dictionary should switch back to the single-pass Arrow UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(F.lower(c), ",", " ")
+    table = abbrevs or _ABBREV_LOWER
+    for k in sorted(table, key=len, reverse=True):
+        out = F.regexp_replace(
+            out, f"(?<![a-z0-9]){re.escape(k)}(?![a-z0-9])", table[k]
+        )
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def find_abbreviation(abb: str, table: Dict[str, str] | None = None) -> str:
+    """S5 parity: the reference ships a 238-entry legal-abbreviation table and
+    a stub lookup tool (kg_creator/src/tools.py:1-7 over
+    /root/reference/Abbrevations).  Implemented here against the built-in
+    dictionary; pass ``table`` (e.g. loaded from an external file of
+    'ABBREV<TAB>expansion' lines via :func:`load_abbreviations`) to widen."""
+    table = table or ABBREVIATIONS
+    return table.get(abb, table.get(abb.upper(), abb))
+
+
+def load_abbreviations(path: str) -> Dict[str, str]:
+    """Load an external abbreviation table (one 'ABBREV<sep>full form' pair
+    per line, tab/ '=' / ':' separated) to replace the built-in dictionary."""
+    out: Dict[str, str] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            for sep in ("\t", "=", ":"):
+                if sep in line:
+                    k, v = line.split(sep, 1)
+                    out[k.strip()] = v.strip()
+                    break
+    return out
+
+
 # ---------------------------------------------------------------------------
 # column helpers
 # ---------------------------------------------------------------------------
 
 
-def canon_props_col(props_col: str):
+def canon_props_col(props_col):
     """Canonical bag: empty values dropped."""
-    return F.map_filter(F.col(props_col), lambda k, v: v != F.lit(""))
+    c = F.col(props_col) if isinstance(props_col, str) else props_col
+    return F.map_filter(c, lambda k, v: v != F.lit(""))
 
 
-def canon_str_col(canon_col: str):
+def canon_str_col(canon_col):
     """Stable string form of a canonical bag (sorted k:v entries)."""
+    c = F.col(canon_col) if isinstance(canon_col, str) else canon_col
     return F.concat_ws(
         "\x1f",
         F.sort_array(
             F.transform(
-                F.map_entries(F.col(canon_col)),
+                F.map_entries(c),
                 lambda e: F.concat(e.key, F.lit(":"), e.value),
             )
         ),
+    )
+
+
+def pre_key_expr(labels_col, props_col):
+    """Content key of one mention endpoint, computable as a pure expression
+    on the assigned-triples row (no self-join needed to key edges)."""
+    labels_str = F.concat_ws(",", labels_col)
+    return F.sha2(
+        F.concat_ws("||", labels_str, canon_str_col(canon_props_col(props_col))),
+        256,
     )
 
 
@@ -149,6 +205,10 @@ def connected_components(
     """(a, b) accepted pairs + (pre_key) universe -> (pre_key, comp) with
     comp = min pre_key of the component.  Driver-side loop over DataFrames;
     data never leaves the cluster."""
+    if pairs.isEmpty():
+        return node_keys.select(
+            F.col("pre_key"), F.col("pre_key").alias("comp")
+        )
     sym = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -180,7 +240,7 @@ def connected_components(
 
 def build_graph(
     assigned: DataFrame,
-    max_token_df: int = 10_000,
+    max_token_df: int = 1_000,
 ) -> Dict[str, DataFrame]:
     """assigned triples -> {nodes, edges, mapping}.
 
@@ -195,29 +255,20 @@ def build_graph(
         .agg(F.first("canon", ignorenulls=True).alias("props"),
              F.first("identity", ignorenulls=True).alias("identity"),
              F.first("labels", ignorenulls=True).alias("labels"))
+        # identity normalization stays JVM-side (regexp_replace chain) so the
+        # node table is computed in exactly one pass
+        .withColumn("norm_identity", normalize_identity_expr("identity"))
+        .withColumn(
+            "tokens",
+            F.array_except(
+                F.split(F.col("norm_identity"), " "),
+                F.array(*[F.lit(t) for t in STOP_TOKENS]),
+            ),
+        )
+        # eager checkpoint: nodes0 has five downstream consumers; one
+        # deterministic materialization job, no recomputation cascades
+        .localCheckpoint()
     )
-
-    # normalized identity tokens (Arrow-batched, single regex pass)
-    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "pre_key": pdf["pre_key"],
-                    "norm_identity": normalize_identity(pdf["identity"]),
-                }
-            )
-
-    norm = nodes0.select("pre_key", "identity").mapInPandas(
-        _norm, schema="pre_key string, norm_identity string"
-    )
-    nodes0 = nodes0.join(norm, "pre_key")
-    nodes0 = nodes0.withColumn(
-        "tokens",
-        F.array_except(
-            F.split(F.col("norm_identity"), " "),
-            F.array(*[F.lit(t) for t in STOP_TOKENS]),
-        ),
-    ).localCheckpoint()
 
     # fuzzy linking only for entity-like nodes (not free-text nodes)
     linkable = nodes0.filter(
@@ -231,26 +282,44 @@ def build_graph(
     tok = linkable.select(
         "labels_str", "pre_key", F.explode("tokens").alias("token")
     )
-    # skew guard: drop head tokens (salting discipline for hot keys)
+    # skew/scale discipline for the head-entity hot keys, two layers:
+    # 1. df cap: tokens whose document frequency over DISTINCT nodes exceeds
+    #    max_token_df leave the index entirely — frequent tokens ("criminal",
+    #    "appeal", court names) would otherwise build quadratic blocks;
+    # 2. asymmetric prefix filter: candidates are generated by probing the
+    #    index with each node's SINGLE RAREST surviving token.  Containment
+    #    A ⊆ B implies A's rarest token is in B's set, so recall over
+    #    df-capped token sets is exact while candidate volume drops from
+    #    Σ df² (symmetric self-join) to Σ df(rarest) ≈ O(#nodes).
     tok_df = tok.groupBy("labels_str", "token").agg(F.count("*").alias("df"))
     tok = tok.join(
-        F.broadcast(tok_df.filter(F.col("df") <= max_token_df)),
+        tok_df.filter(F.col("df") <= max_token_df),
         ["labels_str", "token"],
-        "left_semi",
+    ).localCheckpoint()  # eager: probe/cand/shared/sizes all reuse it
+    w_rare = Window.partitionBy("pre_key").orderBy("df", "token")
+    probe = (
+        tok.withColumn("_rk", F.row_number().over(w_rare))
+        .filter(F.col("_rk") == 1)
+        .select("labels_str", "token", F.col("pre_key").alias("p"))
     )
-    a = tok.select(
-        "labels_str", "token", F.col("pre_key").alias("a")
+    cand = (
+        probe.join(
+            tok.select("labels_str", "token", F.col("pre_key").alias("q")),
+            ["labels_str", "token"],
+        )
+        .filter(F.col("p") != F.col("q"))
+        .select(
+            F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+        )
+        .distinct()
     )
-    b = tok.select(
-        "labels_str", "token", F.col("pre_key").alias("b")
-    )
+    ta = tok.select(F.col("pre_key").alias("a"), "token")
+    tb = tok.select(F.col("pre_key").alias("b"), "token")
     shared = (
-        a.join(b, ["labels_str", "token"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        cand.join(ta, "a").join(tb, ["b", "token"]).groupBy("a", "b")
         .agg(F.count("*").alias("shared"))
     )
-    sizes = linkable.select("pre_key", F.size("tokens").alias("ntok"))
+    sizes = tok.groupBy("pre_key").agg(F.count("*").alias("ntok"))
     pairs = (
         shared.join(sizes.withColumnRenamed("pre_key", "a").withColumnRenamed("ntok", "na"), "a")
         .join(sizes.withColumnRenamed("pre_key", "b").withColumnRenamed("ntok", "nb"), "b")
@@ -258,9 +327,18 @@ def build_graph(
         .select("a", "b")
     )
 
-    comp = connected_components(pairs, nodes0.select("pre_key"))
-
-    member = nodes0.join(comp, "pre_key")
+    # CC runs only over nodes that appear in an accepted pair (a tiny
+    # fraction of the corpus); every other node is its own component.
+    paired_keys = (
+        pairs.select(F.col("a").alias("pre_key"))
+        .unionByName(pairs.select(F.col("b").alias("pre_key")))
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint()
+    comp_paired = connected_components(pairs, paired_keys)
+    member = nodes0.join(comp_paired, "pre_key", "left").withColumn(
+        "comp", F.coalesce(F.col("comp"), F.col("pre_key"))
+    )
 
     entries = (
         member.select("comp", F.explode(F.map_entries("props")).alias("e"))
@@ -299,22 +377,27 @@ def build_graph(
     )
     mapping = member.select("pre_key", "comp").join(
         nodes.select("comp", "node_key"), "comp"
-    ).select("pre_key", "node_key")
+    ).select("pre_key", "node_key").cache()
 
-    nodes_final = nodes.select("node_key", "head_label", "labels", "props").dropDuplicates(
-        ["node_key"]
-    )
+    nodes_final = nodes.select(
+        "node_key", "head_label", "labels", "props"
+    ).dropDuplicates(["node_key"]).cache()
 
-    src = mentions.filter(F.col("side") == "1").select(
-        "triple_id", F.col("pre_key").alias("src_pre")
-    )
-    dst = mentions.filter(F.col("side") == "2").select(
-        "triple_id", F.col("pre_key").alias("dst_pre")
-    )
+    # edge endpoints keyed by pure expressions on the triple row — no
+    # mention self-joins on the hot path, only the two mapping joins
     edges = (
-        assigned.select("url", "span_start", "triple_id", "relationship")
-        .join(src, "triple_id")
-        .join(dst, "triple_id")
+        assigned.select(
+            "url",
+            "span_start",
+            "triple_id",
+            "relationship",
+            pre_key_expr(F.col("node1_labels"), F.col("node1_props")).alias(
+                "src_pre"
+            ),
+            pre_key_expr(F.col("node2_labels"), F.col("node2_props")).alias(
+                "dst_pre"
+            ),
+        )
         .join(
             mapping.withColumnRenamed("pre_key", "src_pre").withColumnRenamed(
                 "node_key", "src_key"

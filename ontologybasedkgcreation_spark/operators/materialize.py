@@ -116,6 +116,76 @@ def part_of_edges(edges: DataFrame, chunks: DataFrame) -> DataFrame:
     )
 
 
+def format_triples(triples: list) -> str:
+    """M5 parity: numbered human-readable triple blocks (mirrors
+    ``format_triples``, kg_creator/src/utils.py:602-620) — debug/REPL only;
+    the engine's real export is the ``triple_set`` DataFrame."""
+    parts = []
+    for i, t in enumerate(triples, start=1):
+        def props_to_str(props):
+            return "\n".join(f"  - {k}: {v}" for k, v in props.items() if v)
+
+        parts.append(
+            f"Triple {i}:\n"
+            f"{t['subj_label']}:\n{props_to_str(t['subj_props'])}\n\n"
+            f"Relationship: {t['pred']}\n\n"
+            f"{t['obj_label']}:\n{props_to_str(t['obj_props'])}\n---"
+        )
+    return "\n\n".join(parts)
+
+
+def node_feature_vectors(nodes: DataFrame, dim: int = 256) -> DataFrame:
+    """R1 parity: per-node feature vector from the node's text rendering.
+
+    The reference renders each node as 'node_labels:[...]' + newline-joined
+    non-empty 'key:value' lines and embeds it with a 768-dim external model
+    (utils.py:786-873, vector_store.py:13).  No external model here: the
+    deterministic stand-in is a hashing-TF over word+char-3gram tokens,
+    L2-normalized — good enough for blocked cosine near-dup candidates, and
+    the column contract (node_key, features array<float>) is what a real
+    embedding model would also fill."""
+    text = F.concat(
+        F.lit("node_labels:["),
+        F.concat_ws(", ", "labels"),
+        F.lit("]\n"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.map_entries(
+                        F.map_filter(F.col("props"), lambda k, v: v != F.lit(""))
+                    )
+                ),
+                lambda e: F.concat(e.key, F.lit(":"), e.value),
+            )
+        ),
+    )
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import hash_token
+
+    def _feat(batches):
+        for pdf in batches:
+            feats = []
+            for s in pdf["node_text"]:
+                s = (s or "").lower()
+                toks = s.split()
+                toks += [s[i : i + 3] for i in range(max(len(s) - 2, 0))]
+                v = np.zeros(dim, dtype=np.float64)
+                for t in toks:
+                    v[hash_token(t) % dim] += 1.0
+                n = np.linalg.norm(v)
+                feats.append((v / n if n else v).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"node_key": pdf["node_key"], "features": feats}
+            )
+
+    return nodes.withColumn("node_text", text).select(
+        "node_key", "node_text"
+    ).mapInPandas(_feat, schema="node_key string, features array<float>")
+
+
 # ---------------------------------------------------------------------------
 # writer (Iceberg when available, Parquet fallback behind one interface)
 # ---------------------------------------------------------------------------

@@ -40,8 +40,17 @@ def run_pipeline(
 
     extracted = extract_pages(pages)
     raw = extract_triples(extracted)
-    v = validate.validate_triples(spark, raw, onto)
-    assigned = properties.assign_and_titlecase(v["validated"])
+    # cache=False: the pipeline's single cache point is `assigned` below;
+    # isa/rejected are audit outputs that may recompute
+    v = validate.validate_triples(spark, raw, onto, cache=False)
+    # assigned feeds nodes, edges, mapping and the paragraph subgraph —
+    # localCheckpoint (not cache) so extraction/validation run once AND the
+    # lineage is truncated: every downstream action otherwise re-optimizes
+    # the full pages->triples logical plan, a serial driver cost that shows
+    # up as fixed overhead at scale
+    assigned = properties.assign_and_titlecase(v["validated"]).localCheckpoint(
+        eager=False
+    )
     graph = linking.build_graph(assigned)
     nodes, edges = graph["nodes"], graph["edges"]
 
@@ -73,14 +82,17 @@ def run_pipeline(
 def primary_case_nodes(assigned: DataFrame, mapping: DataFrame) -> DataFrame:
     """(url, node_key) of each document's primary CourtCase — the subject of
     the document's hasRulingOf triple (header), for hasParagraph edges."""
-    m = linking.mentions_frame(assigned)
     primary = (
         assigned.filter(
             (F.col("relationship") == "hasRulingOf")
             & (F.col("node1_type") == "CourtCase")
         )
-        .select("url", "triple_id")
-        .join(m.filter(F.col("side") == "1").select("triple_id", "pre_key"), "triple_id")
+        .select(
+            "url",
+            linking.pre_key_expr(
+                F.col("node1_labels"), F.col("node1_props")
+            ).alias("pre_key"),
+        )
         .join(mapping, "pre_key")
         .select("url", "node_key")
         .dropDuplicates(["url"])

@@ -20,6 +20,20 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    # A pandas-UDF task really occupies two CPUs: the JVM thread serializing
+    # Arrow batches plus the Python worker process.  With local[>=16] and one
+    # task per core, runnable threads reach 2x cores and Python stages
+    # anti-scale (measured 3-6x slowdown at local[32] on this box).  Claiming
+    # 2 cpus per task keeps the box at 1x subscription; on a real cluster the
+    # equivalent is sizing executor cores to leave headroom for the Python
+    # workers.
+    n_threads = 0
+    if master.startswith("local["):
+        inner = master[6:-1]
+        n_threads = os.cpu_count() if inner == "*" else int(inner)
+    task_cpus = os.environ.get(
+        "SPARK_GRAFT_TASK_CPUS", "2" if n_threads >= 16 else "1"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -27,13 +41,27 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # 512 rows/batch: web pages are 10-100 KB of text per row, so a batch
+        # stays ~5-50 MB — 32 concurrent tasks × batch must fit the heap
+        # (2048-row batches of 20 KB pages GC-thrashed local[32])
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))),
         )
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.task.cpus", task_cpus)
+        # shuffle/spill on tmpfs: the sandbox disk is a virtio device with
+        # variable latency under concurrency; RAM-backed local dirs remove
+        # that noise (a real cluster uses NVMe-local shuffle dirs)
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
+        # single-JVM local mode: the "driver" heap is the whole executor;
+        # size it for 32 concurrent tasks holding Arrow batches of large
+        # text rows (Xmx is a cap, not an allocation)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

