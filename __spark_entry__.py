@@ -383,6 +383,38 @@ def q_consolidate(spark, sf_dir):
     )
 
 
+def q_normalize_names(spark, sf_dir):
+    """S5/E7 normalization core (lowercase, strip punctuation, collapse
+    whitespace) applied columnar — the identity-normalization step of entity
+    linking, in its RE2-safe form (the full abbreviation expansion uses
+    lookarounds and is pytest-covered)."""
+    c = _doc(spark, sf_dir, "customer")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("c_name")), "[#,.]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return c.select("c_custkey", norm.alias("norm_name"))
+
+
+def q_pr_comparator(spark, sf_dir):
+    """The triple-set P/R comparator shape (pipeline.triple_precision_recall)
+    over a SQL-expressible proxy: distinct (user, event_type) behavior sets of
+    early vs late events."""
+    e = _doc(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 2 == 0).select("user_id", "event_type").distinct()
+    b = e.filter(F.col("event_id") % 2 == 1).select("user_id", "event_type").distinct()
+    inter = a.join(b, ["user_id", "event_type"], "left_semi").count()
+    na, nb = a.count(), b.count()
+    return spark.createDataFrame(
+        [(int(na), int(nb), int(inter),
+          float(inter / na if na else 0.0), float(inter / nb if nb else 0.0))],
+        "n_a bigint, n_b bigint, matched bigint, precision double, recall double",
+    )
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -405,6 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "topk_per_user": q_topk_per_user,
         "next_prev_events": q_next_prev_events,
+        "normalize_names": q_normalize_names,
+        "pr_comparator": q_pr_comparator,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -545,6 +579,23 @@ SELECT user_id, event_id,
        lag(event_id) OVER w AS prev_event_id,
        lead(event_id) OVER w AS next_event_id
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "normalize_names": """
+SELECT c_custkey,
+       trim(regexp_replace(regexp_replace(lower(c_name), '[#,.]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS norm_name
+FROM customer
+""",
+        "pr_comparator": """
+WITH a AS (SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 0),
+     b AS (SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 1),
+     m AS (SELECT count(*) AS matched FROM a JOIN b USING (user_id, event_type))
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+       CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+       CAST(matched AS BIGINT) AS matched,
+       matched * 1.0 / (SELECT count(*) FROM a) AS precision,
+       matched * 1.0 / (SELECT count(*) FROM b) AS recall
+FROM m
 """,
         "dedup_exact": """
 SELECT sha256(text) AS content_hash,

@@ -58,12 +58,14 @@ _COURT_RE = re.compile(r"^IN THE ([A-Z][A-Z .]+)$", re.M)
 _JURIS_RE = re.compile(
     r"^(CRIMINAL|CIVIL) APPELLATE JURISDICTION$|^(ORIGINAL) JURISDICTION$", re.M
 )
+# tolerant of the ellipsis form ("…" vs "...") and mixed-case markers the
+# way real judgment headers vary (cf. the prompt example, prompts.py:624-638)
 _CASE_BLOCK_RE = re.compile(
-    r"^((?:CRIMINAL|CIVIL) APPEAL NO\.\d+ OF \d{4})\n"
-    r"(.+?) …APPELLANT\n"
+    r"^((?:CRIMINAL|CIVIL) APPEAL NO\.\s?\d+ OF \d{4})\n"
+    r"(.+?) (?:…|\.{3})\s?APPELLANT\n"
     r"VERSUS\n"
-    r"(.+?) …RESPONDENT$",
-    re.M,
+    r"(.+?) (?:…|\.{3})\s?RESPONDENT$",
+    re.M | re.I,
 )
 _JUDGE_LINE_RE = re.compile(r"^([A-Z]\.(?: [A-Z]\.)*) ([A-Z]+), J\.$", re.M)
 
