@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_PAGES = int(os.environ.get("BENCH_PAGES", "1000"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "4000"))
 PAGE_CHARS = int(os.environ.get("BENCH_PAGE_CHARS", "20000"))
 
 BENCH_QUERIES = [
