@@ -88,7 +88,13 @@ def _toks(col):
 
 def q_chunk_fixed(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
-    n = (F.floor((F.length("text") - 1) / STRIDE)).cast("long")
+    # empty text yields NO chunks on both sides: DuckDB generate_series(0,-1)
+    # is empty while Spark sequence(0,-1) would emit a descending [0,-1] —
+    # the filter + clamp removes that divergence
+    d = d.filter(F.length("text") > 0)
+    n = F.greatest(
+        F.floor((F.length("text") - 1) / STRIDE), F.lit(0)
+    ).cast("long")
     return d.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0).cast("long"), n)).alias("chunk_index"),
@@ -473,7 +479,9 @@ WITH chunks AS (
 _SHINGLE_CTE = """
 WITH sh AS (
   SELECT DISTINCT doc_id AS doc, array_to_string(toks[i:i+2], ' ') AS shingle
-  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents),
        LATERAL (SELECT unnest(generate_series(1, greatest(len(toks)-2, 1))) AS i)
   WHERE array_to_string(toks[i:i+2], ' ') <> ''
 )

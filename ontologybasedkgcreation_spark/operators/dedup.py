@@ -55,8 +55,14 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (pure built-ins)."""
-    toks = F.split(F.col(text_col), " ")
+    """Distinct word n-gram shingles per document (pure built-ins).
+
+    Tokenization is whitespace-RUN splitting with empty tokens dropped —
+    identical on newlines/tabs/double spaces to the DuckDB oracle's
+    ``list_filter(string_split_regex(text, '\\s+'), t -> t <> '')``."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),

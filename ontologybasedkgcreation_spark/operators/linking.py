@@ -42,7 +42,7 @@ Spark-first design:
 from __future__ import annotations
 
 import re
-from typing import Dict
+from typing import Dict, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -200,42 +200,66 @@ def mentions_frame(assigned: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, node_keys: DataFrame, max_iter: int = 20
+    pairs: DataFrame,
+    node_keys: Optional[DataFrame] = None,
+    max_iter: int = 16,
 ) -> DataFrame:
-    """(a, b) accepted pairs + (pre_key) universe -> (pre_key, comp) with
-    comp = min pre_key of the component.  Driver-side loop over DataFrames;
-    data never leaves the cluster."""
-    if pairs.isEmpty():
-        return node_keys.select(
-            F.col("pre_key"), F.col("pre_key").alias("comp")
-        )
+    """(a, b) accepted pairs -> (pre_key, comp) with comp = min pre_key of
+    the component, over the universe of pair endpoints (or ``node_keys``
+    if given).  Driver-side loop over DataFrames; data never leaves the
+    cluster.
+
+    Convergence shape (the fixed-overhead lever at scale): min-label
+    propagation WITH pointer doubling — each round also shortcuts
+    ``comp(k) -> comp(comp(k))`` so rounds are O(log diameter), not
+    O(diameter) — and exactly ONE Spark action per round: the new comp
+    table is a lazy ``localCheckpoint`` materialized by the same aggregate
+    that returns the changed-row count (no separate checkpoint job + count
+    job per round).  Exiting via the iteration cap raises instead of
+    silently returning inconsistent component ids."""
     sym = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    sym = sym.localCheckpoint()
-    comp = node_keys.select(
-        F.col("pre_key"), F.col("pre_key").alias("comp")
-    ).localCheckpoint()
+    # lazy: the first round's convergence aggregate materializes it
+    sym = sym.localCheckpoint(eager=False)
+    universe = (
+        node_keys
+        if node_keys is not None
+        else sym.select(F.col("src").alias("pre_key")).distinct()
+    )
+    comp = universe.select(F.col("pre_key"), F.col("pre_key").alias("comp"))
     for _ in range(max_iter):
-        msgs = (
-            sym.join(comp, sym["src"] == comp["pre_key"])
-            .select(F.col("dst").alias("pre_key"), "comp")
+        msgs = sym.join(comp, sym["src"] == comp["pre_key"]).select(
+            F.col("dst").alias("pre_key"), "comp"
         )
-        new = (
+        agg = (
             comp.unionByName(msgs)
             .groupBy("pre_key")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint()
-        changed = (
-            new.join(comp.withColumnRenamed("comp", "old"), "pre_key")
-            .filter(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
         )
-        comp = new
-        if changed == 0:
-            break
-    return comp
+        # pointer doubling: comp values are themselves member pre_keys, so
+        # one self-join hops each pointer to its parent's component
+        parent = agg.select(
+            F.col("pre_key").alias("p_key"), F.col("comp").alias("p_comp")
+        )
+        short = agg.join(
+            parent, agg["comp"] == parent["p_key"], "left"
+        ).select("pre_key", F.coalesce("p_comp", "comp").alias("comp"))
+        flagged = short.join(
+            comp.withColumnRenamed("comp", "old"), "pre_key"
+        ).select(
+            "pre_key",
+            "comp",
+            (F.col("comp") != F.col("old")).cast("long").alias("ch"),
+        ).localCheckpoint(eager=False)
+        n_changed = flagged.agg(F.sum("ch")).first()[0] or 0
+        comp = flagged.select("pre_key", "comp")
+        if n_changed == 0:
+            return comp
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} doubling "
+        f"rounds (component diameter > 2^{max_iter}) — raise max_iter"
+    )
 
 
 def build_graph(
@@ -328,14 +352,11 @@ def build_graph(
     )
 
     # CC runs only over nodes that appear in an accepted pair (a tiny
-    # fraction of the corpus); every other node is its own component.
-    paired_keys = (
-        pairs.select(F.col("a").alias("pre_key"))
-        .unionByName(pairs.select(F.col("b").alias("pre_key")))
-        .distinct()
-    )
-    pairs = pairs.localCheckpoint()
-    comp_paired = connected_components(pairs, paired_keys)
+    # fraction of the corpus); every other node is its own component.  The
+    # pair universe is derived from CC's own checkpointed symmetric edge
+    # table, so the pair join chain computes exactly once with no extra
+    # eager checkpoint here.
+    comp_paired = connected_components(pairs)
     member = nodes0.join(comp_paired, "pre_key", "left").withColumn(
         "comp", F.coalesce(F.col("comp"), F.col("pre_key"))
     )

@@ -72,7 +72,12 @@ def resolution_rows(onto: Ontology):
     combination the ontology admits — the ancestor-chain cross-product walk
     of ``some_func_v2`` (utils.py:554-560) evaluated once in Python over the
     tiny ontology instead of per triple."""
-    key = id(onto)
+    # content-keyed: a new instance with the same tables hits the cache, and
+    # a garbage-collected instance's reused memory address can never serve a
+    # stale table (id()-keying bug).  class_comments is presentation-only
+    # and excluded (it is also a dict, i.e. unhashable).
+    key = (onto.classes, onto.subclass_edges, onto.object_props,
+           onto.datatype_props)
     if key in _RESOLUTION_CACHE:
         return _RESOLUTION_CACHE[key]
     rels = sorted({r for _, r, _, _ in onto.object_props})

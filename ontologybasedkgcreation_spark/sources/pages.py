@@ -44,8 +44,14 @@ def _unescape_series(s: pd.Series) -> pd.Series:
 
 def extract_text_batch(html: pd.Series) -> pd.Series:
     """binary html -> text.  Prefers a single <pre> block (our fixture/WARC
-    shape); falls back to tag-stripping.  Pure + vectorized."""
-    raw = html.map(bytes.decode if html.dtype == object else str)  # utf-8 str
+    shape); falls back to tag-stripping.  Pure + vectorized + null-safe:
+    NULL html decodes to '' (rows whose html was masked off JVM-side in
+    :func:`extract_pages` reach the UDF as nulls)."""
+    raw = html.map(
+        lambda b: b.decode("utf-8")
+        if isinstance(b, (bytes, bytearray))
+        else ("" if b is None else str(b))
+    )
     pre = raw.str.extract(_PRE_RE, expand=False)
     stripped = raw.str.replace(_TAG_RE, "", regex=True).str.strip()
     chosen = pre.fillna(stripped)
@@ -74,9 +80,12 @@ def extract_pages(pages: DataFrame, prefer_existing_text: bool = True) -> DataFr
         return extract_text_batch(html)
 
     if prefer_existing_text:
-        text = F.when(
-            F.col("text").isNotNull(), F.col("text")
-        ).otherwise(_decode(F.col("html")))
+        # Spark evaluates a pandas UDF argument unconditionally even inside
+        # F.when, so the skip must happen in the ARGUMENT: html is masked to
+        # NULL for rows that already carry text (nulls cross Arrow for free
+        # and decode to '' — never used), then the when() picks the text.
+        masked = F.when(F.col("text").isNull(), F.col("html"))
+        text = F.coalesce(F.col("text"), _decode(masked))
     else:
         text = _decode(F.col("html"))
     return pages.select(
