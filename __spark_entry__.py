@@ -421,6 +421,49 @@ def q_pr_comparator(spark, sf_dir):
     )
 
 
+def q_case_metadata(spark, sf_dir):
+    """E4: the per-document CaseMetadata record operator
+    (materialize.case_metadata_records — CaseMetadataParser fields,
+    reference output_parser.py:22-31) run over a synthetic assigned-triples
+    frame derived from `documents`: one real header triple per doc plus two
+    decoys (a cited-prior row with no hasCaseName, and a later-span duplicate
+    header) that the operator must reject."""
+    from ontologybasedkgcreation_spark.operators import materialize
+
+    d = _doc(spark, sf_dir, "documents")
+
+    def mk(span, cid, cname):
+        return d.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.lit(span).cast("long").alias("span_start"),
+            F.concat(F.lit(f"{span}#"), F.col("doc_id").cast("string")).alias(
+                "triple_id"
+            ),
+            F.lit("CourtCase").alias("node1_type"),
+            F.create_map(
+                F.lit("hasCaseID"), cid, F.lit("hasCaseName"), cname
+            ).alias("node1_props"),
+            F.lit("hasRulingOf").alias("relationship"),
+            F.create_map(F.lit("courtName"), F.col("source")).alias(
+                "node2_props"
+            ),
+        )
+
+    did = F.col("doc_id").cast("string")
+    assigned = (
+        mk(5, F.concat(F.lit("case-"), did), F.concat(F.lit("In Re "), did))
+        .unionByName(mk(0, F.lit("prior-case"), F.lit("")))  # cited prior
+        .unionByName(mk(9, F.lit("late"), F.lit("Late Name")))  # later span
+    )
+    rec = materialize.case_metadata_records(assigned)
+    return rec.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "hasCaseID",
+        "hasCourtName",
+        "hasCaseName",
+    )
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -456,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "consolidate": q_consolidate,
+        "case_metadata": q_case_metadata,
         "media_bytes": q_media_bytes,
     }
 
@@ -694,6 +738,13 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
                  11, 1000) AS canonical_name,
        CAST(count(*) AS BIGINT) AS n_members
 FROM customer GROUP BY c_nationkey
+""",
+        "case_metadata": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'case-' || CAST(doc_id AS VARCHAR) AS hasCaseID,
+       source AS hasCourtName,
+       'In Re ' || CAST(doc_id AS VARCHAR) AS hasCaseName
+FROM documents
 """,
         "media_bytes": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

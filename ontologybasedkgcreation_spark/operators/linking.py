@@ -41,6 +41,7 @@ Spark-first design:
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, Optional
 
@@ -52,39 +53,77 @@ from ..fixtures import ABBREVIATIONS
 
 STOP_TOKENS = ("of", "the", "")
 
-_ABBREV_LOWER = {k.lower(): v.lower() for k, v in ABBREVIATIONS.items()}
-_ABBREV_RE = (
-    "(?<![a-z0-9])(?:"
-    + "|".join(re.escape(k) for k in sorted(_ABBREV_LOWER, key=len, reverse=True))
-    + ")(?![a-z0-9])"
+# The reference ships a 238-entry legal-abbreviation table
+# (/root/reference/Abbrevations; surfaced through the stub tool at
+# kg_creator/src/tools.py:1-7).  When the file is present it becomes the
+# DEFAULT linking dictionary; the 5-entry built-in remains the hermetic
+# fallback (and the unit-test dictionary).
+REFERENCE_ABBREV_PATH = os.environ.get(
+    "ONTOKG_ABBREV_PATH", "/root/reference/Abbrevations"
 )
 
+_DEFAULT_ABBREV: Optional[Dict[str, str]] = None
 
-def normalize_identity(s: pd.Series) -> pd.Series:
+
+def default_abbreviations() -> Dict[str, str]:
+    """Built-in dictionary widened by the reference's 238-entry file when it
+    exists (cached per process — executors load it once from local disk)."""
+    global _DEFAULT_ABBREV
+    if _DEFAULT_ABBREV is None:
+        table = dict(ABBREVIATIONS)
+        if os.path.exists(REFERENCE_ABBREV_PATH):
+            try:
+                table.update(load_abbreviations(REFERENCE_ABBREV_PATH))
+            except OSError:
+                pass
+        _DEFAULT_ABBREV = table
+    return _DEFAULT_ABBREV
+
+
+def _lower_table(table: Dict[str, str]) -> Dict[str, str]:
+    return {k.lower(): v.lower() for k, v in table.items()}
+
+
+def _abbrev_regex(lower_table: Dict[str, str]) -> str:
+    """One alternation regex covering the whole dictionary — a single pass
+    expands every entry (longest keys first so 'Cr.L.J.' wins over 'CJ')."""
+    return (
+        "(?<![a-z0-9])(?:"
+        + "|".join(
+            re.escape(k) for k in sorted(lower_table, key=len, reverse=True)
+        )
+        + ")(?![a-z0-9])"
+    )
+
+
+def normalize_identity(
+    s: pd.Series, table: Optional[Dict[str, str]] = None
+) -> pd.Series:
     """Vectorized: lowercase, expand abbreviations, strip commas, collapse
     whitespace.  One alternation regex covers the whole dictionary in a
-    single pass (238 entries in the reference's list scale the same way)."""
+    single pass, so the 243-entry default costs the same as the 5-entry
+    test dictionary."""
+    lower = _lower_table(table if table is not None else default_abbreviations())
     out = s.fillna("").str.lower().str.replace(",", " ", regex=False)
-    out = out.str.replace(
-        _ABBREV_RE, lambda m: _ABBREV_LOWER[m.group(0)], regex=True
-    )
+    if lower:
+        out = out.str.replace(
+            _abbrev_regex(lower), lambda m: lower[m.group(0)], regex=True
+        )
     return out.str.replace(r"\s+", " ", regex=True).str.strip()
 
 
-def normalize_identity_str(s: str) -> str:
-    return normalize_identity(pd.Series([s])).iloc[0]
+def normalize_identity_str(s: str, table: Optional[Dict[str, str]] = None) -> str:
+    return normalize_identity(pd.Series([s]), table).iloc[0]
 
 
 def normalize_identity_expr(col, abbrevs: Dict[str, str] | None = None):
     """JVM-side (whole-stage-codegen) equivalent of :func:`normalize_identity`
-    — a chain of ``regexp_replace`` per abbreviation entry.  Chosen over the
-    pandas UDF on the hot path so node-identity normalization never leaves
-    the JVM; the pandas variant remains for tests and very large external
-    dictionaries (a 238-entry chain still codegens, but a many-thousand-entry
-    dictionary should switch back to the single-pass Arrow UDF)."""
+    — a chain of ``regexp_replace`` per abbreviation entry.  Right for SMALL
+    dictionaries only (the expression tree grows per entry); use
+    :func:`normalize_identity_col` to auto-dispatch."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.regexp_replace(F.lower(c), ",", " ")
-    table = abbrevs or _ABBREV_LOWER
+    table = abbrevs if abbrevs is not None else _lower_table(ABBREVIATIONS)
     for k in sorted(table, key=len, reverse=True):
         out = F.regexp_replace(
             out, f"(?<![a-z0-9]){re.escape(k)}(?![a-z0-9])", table[k]
@@ -92,24 +131,50 @@ def normalize_identity_expr(col, abbrevs: Dict[str, str] | None = None):
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+def normalize_identity_col(col, table: Optional[Dict[str, str]] = None):
+    """Best-plan dispatch for identity normalization: a JVM
+    ``regexp_replace`` chain (whole-stage codegen, never leaves the JVM)
+    while the dictionary is small, a single-pass Arrow-vectorized pandas UDF
+    (one compiled alternation regex) once it is large — a 243-entry chain of
+    JVM regexps is 243 passes over every identity string, the Arrow UDF is
+    one."""
+    table = table if table is not None else default_abbreviations()
+    if len(table) <= 50:
+        return normalize_identity_expr(col, _lower_table(table))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return normalize_identity(s, table)
+
+    return _norm(F.col(col) if isinstance(col, str) else col)
+
+
 def find_abbreviation(abb: str, table: Dict[str, str] | None = None) -> str:
-    """S5 parity: the reference ships a 238-entry legal-abbreviation table and
-    a stub lookup tool (kg_creator/src/tools.py:1-7 over
-    /root/reference/Abbrevations).  Implemented here against the built-in
-    dictionary; pass ``table`` (e.g. loaded from an external file of
-    'ABBREV<TAB>expansion' lines via :func:`load_abbreviations`) to widen."""
-    table = table or ABBREVIATIONS
+    """S5 parity: lookup mirroring the reference's stub tool
+    (kg_creator/src/tools.py:1-7) against the default dictionary (238-entry
+    reference file + built-ins when present)."""
+    table = table if table is not None else default_abbreviations()
     return table.get(abb, table.get(abb.upper(), abb))
 
 
 def load_abbreviations(path: str) -> Dict[str, str]:
-    """Load an external abbreviation table (one 'ABBREV<sep>full form' pair
-    per line, tab/ '=' / ':' separated) to replace the built-in dictionary."""
+    """Load an external abbreviation table.  Accepts the reference file's
+    formats — 'KEY - full form' (238 entries), 'KEY- full form',
+    'KEY<TAB>- full form' — plus tab / '=' / ':' separated lines; lines in
+    none of these shapes (prose glossary rows) are skipped."""
     out: Dict[str, str] = {}
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
             if not line:
+                continue
+            flat = line.replace("\t", " ")
+            m = re.match(r"^(.+?)\s+-\s+(.+)$", flat) or re.match(
+                r"^(\S+)-\s+(.+)$", flat
+            )
+            if m:
+                out[m.group(1).strip()] = m.group(2).strip()
                 continue
             for sep in ("\t", "=", ":"):
                 if sep in line:
@@ -262,15 +327,127 @@ def connected_components(
     )
 
 
+def refine_pairs(
+    linkable: DataFrame,
+    threshold: float = 0.75,
+    max_gram_df: int = 1_000,
+    n_probe: int = 3,
+    dim: int = 256,
+) -> DataFrame:
+    """R2 parity: the similarity-driven refine pass of the reference
+    (``refine_nodes.py:27-96``: per-node ANN kNN with cosine >= 0.6, then an
+    LLM + human gate; ``merge_by_id`` merges only when the two label sets
+    are equal, utils.py:681-688).  Deterministic Spark-first stand-in:
+
+    - vectors: hashing-TF over the NORMALIZED identity (word + char-3gram),
+      so token reorders and small typos score high;
+    - candidates: a df-capped char-3gram inverted index probed with each
+      node's ``n_probe`` rarest grams — the approximate-recall analog of the
+      reference's ANN index (both are recall-approximate by design), volume
+      O(#nodes · n_probe), never all-pairs;
+    - label-equality guard: the index is blocked by ``labels_str``;
+    - accept at cosine >= ``threshold``.  0.75 here plays the role of the
+      reference's 0.6-on-a-semantic-model + human gate: calibrated so true
+      aliases (token reorders ~0.84, typos ~0.94) merge while sibling
+      entities ("Madras"/"Bombay High Court" ~0.67) never do;
+    - two deterministic stand-ins for the human gate: nodes identified by a
+      uniqueness-constrained key (CourtCase.hasCaseID — utils.py:176-199)
+      never fuzzy-merge, and nodes whose numeral tokens differ never merge
+      (Section 302 != Section 304, even at cosine 0.89).
+    """
+    from .similarity import _dot, hashing_feature_vectors
+
+    base = linkable.filter(F.col("head_label") != "CourtCase").select(
+        "labels_str",
+        "pre_key",
+        "norm_identity",
+        F.sort_array(
+            F.filter(F.col("tokens"), lambda t: t.rlike("[0-9]"))
+        ).alias("num_toks"),
+    )
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("norm_identity") - 2, F.lit(1))
+            ),
+            lambda i: F.col("norm_identity").substr(i, F.lit(3)),
+        )
+    )
+    g = base.select("labels_str", "pre_key", F.explode(grams_arr).alias("gram"))
+    gdf = g.groupBy("labels_str", "gram").agg(F.count("*").alias("df"))
+    # df=1 grams can only ever match their own node — they are useless both
+    # as probes AND as index entries, so the band is [2, max_gram_df]
+    g = g.join(
+        gdf.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)),
+        ["labels_str", "gram"],
+    )
+    w = Window.partitionBy("pre_key").orderBy("df", "gram")
+    probe = (
+        g.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_probe)
+        .select("labels_str", "gram", F.col("pre_key").alias("p"))
+    )
+    cand = (
+        probe.join(
+            g.select("labels_str", "gram", F.col("pre_key").alias("q")),
+            ["labels_str", "gram"],
+        )
+        .filter(F.col("p") != F.col("q"))
+        .select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))
+        .distinct()
+    )
+    # feature vectors only for nodes that actually appear in a candidate
+    # pair (Python work bounded by candidate volume, not corpus size)
+    keys = (
+        cand.select(F.col("a").alias("pre_key"))
+        .unionByName(cand.select(F.col("b").alias("pre_key")))
+        .distinct()
+    )
+    side = base.join(keys, "pre_key", "left_semi")
+    feats = hashing_feature_vectors(
+        side, "pre_key", "norm_identity", dim
+    ).join(side.select("pre_key", "num_toks"), "pre_key")
+    fa = feats.select(
+        F.col("pre_key").alias("a"),
+        F.col("features").alias("fa"),
+        F.col("num_toks").alias("na_toks"),
+    )
+    fb = feats.select(
+        F.col("pre_key").alias("b"),
+        F.col("features").alias("fb"),
+        F.col("num_toks").alias("nb_toks"),
+    )
+    return (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .filter(F.col("na_toks") == F.col("nb_toks"))
+        # vectors are L2-normalized, so the dot product IS the cosine
+        .withColumn(
+            "cosine",
+            _dot(
+                F.col("fa").cast("array<double>"),
+                F.col("fb").cast("array<double>"),
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b")
+    )
+
+
 def build_graph(
     assigned: DataFrame,
     max_token_df: int = 1_000,
+    abbrevs: Optional[Dict[str, str]] = None,
+    refine_threshold: Optional[float] = 0.75,
 ) -> Dict[str, DataFrame]:
     """assigned triples -> {nodes, edges, mapping}.
 
     nodes  : node_key, head_label, labels array, props map (canonical)
     edges  : src_key, relationship, dst_key, url, span_start, triple_id
     mapping: pre_key -> node_key
+
+    ``abbrevs``: linking dictionary (default: the reference's 238-entry
+    table when present, else the built-in 5 entries).
     """
     mentions = mentions_frame(assigned)
 
@@ -279,9 +456,10 @@ def build_graph(
         .agg(F.first("canon", ignorenulls=True).alias("props"),
              F.first("identity", ignorenulls=True).alias("identity"),
              F.first("labels", ignorenulls=True).alias("labels"))
-        # identity normalization stays JVM-side (regexp_replace chain) so the
-        # node table is computed in exactly one pass
-        .withColumn("norm_identity", normalize_identity_expr("identity"))
+        # identity normalization: JVM regexp chain for small dictionaries,
+        # single-pass Arrow UDF for the 243-entry default (see
+        # normalize_identity_col)
+        .withColumn("norm_identity", normalize_identity_col("identity", abbrevs))
         .withColumn(
             "tokens",
             F.array_except(
@@ -350,6 +528,17 @@ def build_graph(
         .filter(F.col("shared") == F.least(F.col("na"), F.col("nb")))
         .select("a", "b")
     )
+
+    # R2: similarity-driven refine pass (reference refine_nodes.py:27-96) —
+    # catches non-containment aliases (token reorders, typos).  Duplicate
+    # (a, b) rows vs the containment pairs are harmless to min-label CC,
+    # so no distinct shuffle here.
+    if refine_threshold is not None:
+        pairs = pairs.unionByName(
+            refine_pairs(
+                linkable, threshold=refine_threshold, max_gram_df=max_token_df
+            )
+        )
 
     # CC runs only over nodes that appear in an accepted pair (a tiny
     # fraction of the corpus); every other node is its own component.  The

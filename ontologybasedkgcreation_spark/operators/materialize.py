@@ -74,6 +74,99 @@ def paragraph_edges(
     return out.withColumn("triple_id", F.sha2(F.concat_ws("|", "src_key", "relationship", "dst_key"), 256))
 
 
+def case_metadata_records(assigned: DataFrame) -> DataFrame:
+    """E4 parity: one CaseMetadata record per document — the
+    ``CaseMetadataParser`` fields (hasCaseID / hasCourtName / hasCaseName,
+    reference ``output_parser.py:22-31``), derived from the document's
+    primary header triple (CourtCase-hasRulingOf->Court).  Cited prior
+    cases also emit hasRulingOf triples but carry no hasCaseName; the
+    earliest fully-named header triple per url wins (deterministic)."""
+    from pyspark.sql import Window
+
+    hdr = assigned.filter(
+        (F.col("relationship") == "hasRulingOf")
+        & (F.col("node1_type") == "CourtCase")
+        & (F.coalesce(F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")) != "")
+    )
+    w = Window.partitionBy("url").orderBy("span_start", "triple_id")
+    return (
+        hdr.select(
+            "url",
+            "span_start",
+            "triple_id",
+            F.coalesce(
+                F.element_at("node1_props", F.lit("hasCaseID")), F.lit("")
+            ).alias("hasCaseID"),
+            F.coalesce(
+                F.element_at("node2_props", F.lit("courtName")), F.lit("")
+            ).alias("hasCourtName"),
+            F.coalesce(
+                F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")
+            ).alias("hasCaseName"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "span_start", "triple_id")
+    )
+
+
+def _case_metadata_text():
+    """Deterministic rendering of the record — the stand-in for the
+    reference's free-text LLM metadata summary (``state['case_metadata']``,
+    agent_utils.py:162, stored as the node's ``text`` property)."""
+    return F.concat(
+        F.lit("hasCaseID: "), F.col("hasCaseID"),
+        F.lit("\nhasCourtName: "), F.col("hasCourtName"),
+        F.lit("\nhasCaseName: "), F.col("hasCaseName"),
+    )
+
+
+def case_metadata_nodes(records: DataFrame) -> DataFrame:
+    """One CaseMetadata node per document, props ``{text: <metadata>}`` —
+    mirrors ``merge_node(["CaseMetadata"], {"text": ...})``
+    (agent_utils.py:221); node_key is content-derived like every node."""
+    text = _case_metadata_text()
+    return records.select(
+        F.sha2(F.concat_ws("||", F.lit("CaseMetadata"), text), 256).alias(
+            "node_key"
+        ),
+        F.lit("CaseMetadata").alias("head_label"),
+        F.array(F.lit("CaseMetadata")).alias("labels"),
+        F.map_from_arrays(
+            F.array(F.lit("text")), F.array(text)
+        ).alias("props"),
+    ).dropDuplicates(["node_key"])
+
+
+def case_metadata_edges(records: DataFrame, chained_chunks: DataFrame) -> DataFrame:
+    """CaseMetadata -hasCaseMetadata-> chunk-0 Paragraph per document
+    (agent_utils.py:222-226: created only for the first chunk)."""
+    text = _case_metadata_text()
+    src = records.select(
+        "url",
+        F.sha2(F.concat_ws("||", F.lit("CaseMetadata"), text), 256).alias(
+            "src_key"
+        ),
+    )
+    first_chunk = chained_chunks.filter(F.col("chunk_index") == 0).select(
+        "url", F.col("chunk_id").alias("dst_key"), F.col("char_start")
+    )
+    return (
+        src.join(first_chunk, "url")
+        .select(
+            "src_key",
+            F.lit("hasCaseMetadata").alias("relationship"),
+            "dst_key",
+            "url",
+            F.col("char_start").alias("span_start"),
+        )
+        .withColumn(
+            "triple_id",
+            F.sha2(F.concat_ws("|", "src_key", "relationship", "dst_key"), 256),
+        )
+    )
+
+
 def part_of_edges(edges: DataFrame, chunks: DataFrame) -> DataFrame:
     """part_of edges from every extracted node mention to the chunk containing
     its evidence span (agent_utils.py:258-268) — a range join on character
@@ -160,30 +253,14 @@ def node_feature_vectors(nodes: DataFrame, dim: int = 256) -> DataFrame:
             )
         ),
     )
-    import numpy as np
-    import pandas as pd
+    from .similarity import hashing_feature_vectors
 
-    from .dedup import hash_token
-
-    def _feat(batches):
-        for pdf in batches:
-            feats = []
-            for s in pdf["node_text"]:
-                s = (s or "").lower()
-                toks = s.split()
-                toks += [s[i : i + 3] for i in range(max(len(s) - 2, 0))]
-                v = np.zeros(dim, dtype=np.float64)
-                for t in toks:
-                    v[hash_token(t) % dim] += 1.0
-                n = np.linalg.norm(v)
-                feats.append((v / n if n else v).astype(np.float32).tolist())
-            yield pd.DataFrame(
-                {"node_key": pdf["node_key"], "features": feats}
-            )
-
-    return nodes.withColumn("node_text", text).select(
-        "node_key", "node_text"
-    ).mapInPandas(_feat, schema="node_key string, features array<float>")
+    return hashing_feature_vectors(
+        nodes.withColumn("node_text", text).select("node_key", "node_text"),
+        "node_key",
+        "node_text",
+        dim,
+    )
 
 
 # ---------------------------------------------------------------------------

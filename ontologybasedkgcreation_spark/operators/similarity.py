@@ -92,6 +92,38 @@ def ivf_topk(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def hashing_feature_vectors(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 256
+) -> DataFrame:
+    """(id, features array<float>): hashing-TF over word + char-3gram tokens,
+    L2-normalized — the deterministic stand-in for an external embedding
+    model (the reference embeds node renderings with a 768-dim model,
+    utils.py:786-873; the column contract is identical).  Arrow-batched,
+    no per-row Python outside the tokenizer."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import hash_token
+
+    def _feat(batches):
+        for pdf in batches:
+            feats = []
+            for s in pdf[text_col]:
+                s = (s or "").lower()
+                toks = s.split()
+                toks += [s[i : i + 3] for i in range(max(len(s) - 2, 0))]
+                v = np.zeros(dim, dtype=np.float64)
+                for t in toks:
+                    v[hash_token(t) % dim] += 1.0
+                n = np.linalg.norm(v)
+                feats.append((v / n if n else v).astype(np.float32).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.select(id_col, text_col).mapInPandas(
+        _feat, schema=f"{id_col} string, features array<float>"
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

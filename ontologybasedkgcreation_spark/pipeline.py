@@ -69,9 +69,18 @@ def run_pipeline(
     if with_paragraphs:
         chunks = chain_chunks(chunk_pages(extracted))
         out["chunks"] = chunks
-        out["paragraph_nodes"] = materialize.paragraph_nodes(chunks)
+        # per-document bookkeeping subgraph (agent_utils.py:210-235):
+        # Paragraph chain + CourtCase-hasParagraph + one CaseMetadata node
+        # linked to chunk 0
+        records = materialize.case_metadata_records(assigned)
+        out["case_metadata"] = records
+        out["paragraph_nodes"] = materialize.paragraph_nodes(chunks).unionByName(
+            materialize.case_metadata_nodes(records)
+        )
         case_nodes = primary_case_nodes(assigned, graph["mapping"])
-        out["paragraph_edges"] = materialize.paragraph_edges(chunks, case_nodes)
+        out["paragraph_edges"] = materialize.paragraph_edges(
+            chunks, case_nodes
+        ).unionByName(materialize.case_metadata_edges(records, chunks))
         out["part_of_edges"] = materialize.part_of_edges(edges, chunks)
 
     if writer is not None:
@@ -82,11 +91,24 @@ def run_pipeline(
 def primary_case_nodes(assigned: DataFrame, mapping: DataFrame) -> DataFrame:
     """(url, node_key) of each document's primary CourtCase — the subject of
     the document's hasRulingOf triple (header), for hasParagraph edges."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("span_start", "triple_id")
     primary = (
         assigned.filter(
             (F.col("relationship") == "hasRulingOf")
             & (F.col("node1_type") == "CourtCase")
+            # cited prior cases also emit hasRulingOf but carry no
+            # hasCaseName — only the document's own header triple does
+            & (
+                F.coalesce(
+                    F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")
+                )
+                != ""
+            )
         )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
         .select(
             "url",
             linking.pre_key_expr(
@@ -95,7 +117,6 @@ def primary_case_nodes(assigned: DataFrame, mapping: DataFrame) -> DataFrame:
         )
         .join(mapping, "pre_key")
         .select("url", "node_key")
-        .dropDuplicates(["url"])
     )
     return primary
 

@@ -31,3 +31,108 @@ def test_small_corpus_determinism():
     vals = ["A. Deshmukh", "Deshmukh", "A. Deshmukh"]
     norm = [normalize_identity_str(v) for v in vals]
     assert norm == ["a. deshmukh", "deshmukh", "a. deshmukh"]
+
+
+# ---------------------------------------------------------------------------
+# build_graph linking behavior (M1/R2): abbreviation aliases, the
+# similarity refine pass, and its safety guards
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F
+
+from ontologybasedkgcreation_spark.operators import linking
+
+
+def _assigned(spark, rows):
+    """rows: (url, n1_type, n1_props, rel, n2_type, n2_props)."""
+    data = [
+        (
+            url, 0, f"t{i}",
+            t1, [t1], p1,
+            rel,
+            t2, [t2], p2,
+        )
+        for i, (url, t1, p1, rel, t2, p2) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "url string, span_start long, triple_id string, "
+        "node1_type string, node1_labels array<string>, "
+        "node1_props map<string,string>, relationship string, "
+        "node2_type string, node2_labels array<string>, "
+        "node2_props map<string,string>",
+    )
+
+
+def _court_nodes(graph):
+    return {
+        r["props"]["courtName"]
+        for r in graph["nodes"].filter(F.col("head_label") == "Court").collect()
+    }
+
+
+def test_abbrevations_file_alias_links(spark):
+    """S5: an alias only present in the reference's 238-entry file ('DHC' ->
+    'Delhi High Court') merges when the default dictionary is loaded."""
+    case = {"hasCaseID": "Criminal Appeal No. 1 Of 2015", "hasCaseName": "A Versus B"}
+    rows = [
+        ("u1", "CourtCase", case, "hasRulingOf", "Court", {"courtName": "DHC"}),
+        ("u2", "CourtCase", case, "hasRulingOf", "Court",
+         {"courtName": "Delhi High Court"}),
+    ]
+    g = linking.build_graph(_assigned(spark, rows))
+    courts = _court_nodes(g)
+    assert len(courts) == 1, courts
+
+
+def test_refine_pass_merges_non_containment_alias(spark):
+    """R2: a typo alias that is NOT a token-subset merges via the
+    feature-vector cosine path (reference refine_nodes.py:45-60)."""
+    case = {"hasCaseID": "Criminal Appeal No. 1 Of 2015", "hasCaseName": "A Versus B"}
+    rows = [
+        ("u1", "CourtCase", case, "hasRulingOf", "Court",
+         {"courtName": "High Court Of Judicature At Allahabad"}),
+        ("u2", "CourtCase", case, "hasRulingOf", "Court",
+         {"courtName": "High Court Of Judicatura At Allahabad"}),  # typo alias
+    ]
+    g = linking.build_graph(_assigned(spark, rows))
+    assert len(_court_nodes(g)) == 1
+    # refine off -> the typo stays a separate node (containment alone misses it)
+    g2 = linking.build_graph(_assigned(spark, rows), refine_threshold=None)
+    assert len(_court_nodes(g2)) == 2
+
+
+def test_refine_pass_rejects_sibling_entities(spark):
+    """The calibrated threshold + numeral guard must NOT merge distinct
+    entities that are textually close."""
+    case = {"hasCaseID": "Criminal Appeal No. 1 Of 2015", "hasCaseName": "A Versus B"}
+    rows = [
+        ("u1", "CourtCase", case, "hasRulingOf", "Court",
+         {"courtName": "Madras High Court"}),
+        ("u2", "CourtCase", case, "hasRulingOf", "Court",
+         {"courtName": "Bombay High Court"}),
+        ("u1", "CourtCase", case, "hasProvision", "Provision",
+         {"text": "Section 302 Of The Indian Penal Code"}),
+        ("u2", "CourtCase", case, "hasProvision", "Provision",
+         {"text": "Section 304 Of The Indian Penal Code"}),
+    ]
+    g = linking.build_graph(_assigned(spark, rows))
+    assert len(_court_nodes(g)) == 2
+    # wait: Provision props are text-only -> excluded from fuzzy linking
+    # entirely (free-text guard); both survive
+    provs = g["nodes"].filter(F.col("head_label") == "Provision").count()
+    assert provs == 2
+
+
+def test_case_ids_never_fuzzy_merge(spark):
+    """Constrained-key entities (CourtCase.hasCaseID, utils.py:176-199)
+    are excluded from the refine pass: near-identical case IDs stay apart."""
+    c1 = {"hasCaseID": "Criminal Appeal No. 4 Of 2015", "hasCaseName": "A Versus B"}
+    c2 = {"hasCaseID": "Civil Appeal No. 4 Of 2015", "hasCaseName": "A Versus B"}
+    rows = [
+        ("u1", "CourtCase", c1, "hasRulingOf", "Court", {"courtName": "X Court"}),
+        ("u2", "CourtCase", c2, "hasRulingOf", "Court", {"courtName": "X Court"}),
+    ]
+    g = linking.build_graph(_assigned(spark, rows))
+    cases = g["nodes"].filter(F.col("head_label") == "CourtCase").count()
+    assert cases == 2

@@ -130,3 +130,39 @@ def test_has_paragraph_edges(run):
     assert hp.select("url").distinct().count() == out["raw_triples"].select(
         "url"
     ).distinct().count()
+
+
+def test_case_metadata_subgraph(run):
+    """Reference parity (agent_utils.py:221-226): one CaseMetadata node per
+    extracted document, props {text: <metadata>}, linked by hasCaseMetadata
+    to that document's chunk-0 Paragraph."""
+    _, _, out = run
+    n_urls = out["raw_triples"].select("url").distinct().count()
+
+    recs = out["case_metadata"].collect()
+    assert len(recs) == n_urls
+    assert all(r["hasCaseID"] and r["hasCourtName"] and r["hasCaseName"] for r in recs)
+
+    cm_nodes = out["paragraph_nodes"].filter(
+        F.col("head_label") == "CaseMetadata"
+    )
+    nodes = cm_nodes.collect()
+    # distinct documents can share metadata text only if identical; fixture
+    # cases are distinct, so one node per url
+    assert len(nodes) == n_urls
+    assert all(set(r["props"].keys()) == {"text"} for r in nodes)
+
+    cm_edges = out["paragraph_edges"].filter(
+        F.col("relationship") == "hasCaseMetadata"
+    )
+    edges = cm_edges.collect()
+    assert len(edges) == n_urls
+    # every edge lands on that url's chunk-0 Paragraph
+    chunk0 = {
+        r["url"]: r["chunk_id"]
+        for r in out["chunks"].filter(F.col("chunk_index") == 0).collect()
+    }
+    assert all(e["dst_key"] == chunk0[e["url"]] for e in edges)
+    # and originates at a CaseMetadata node
+    node_keys = {r["node_key"] for r in nodes}
+    assert all(e["src_key"] in node_keys for e in edges)
