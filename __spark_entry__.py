@@ -272,6 +272,19 @@ def q_dedup_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard_lsh(spark, sf_dir):
+    """The scale-safe Jaccard shape: LSH candidates -> exact verify (the
+    exact pair join of q_dedup_jaccard only ever runs over candidates)."""
+    d = _doc(spark, sf_dir, "documents")
+    return dedup.lsh_jaccard_pairs(
+        d, "doc_id", "text", n=3, bands=4, rows_per_band=4, threshold=0.8
+    ).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "jaccard",
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
@@ -312,6 +325,24 @@ def q_embedding_ivf(spark, sf_dir):
     vec, label = _query_vec(spark, sf_dir)
     return similarity.ivf_topk(emb, vec, label, k=10, exclude_id=0).select(
         F.col("vec_id").cast("long").alias("vec_id"), "cosine"
+    )
+
+
+def q_ivf_assign(spark, sf_dir):
+    """IVF cluster assignment: argmax-cosine over fixed centroids (the four
+    lowest-id vectors — deterministic seeds, so the oracle can name them).
+    This is the operator that PRODUCES the label column ivf_topk prunes on."""
+    emb = _doc(spark, sf_dir, "embeddings")
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return similarity.assign_clusters(emb, cents, label_col="assigned").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("assigned").cast("long").alias("assigned"),
     )
 
 
@@ -490,10 +521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_comparator": q_pr_comparator,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_ivf": q_embedding_ivf,
+        "ivf_assign": q_ivf_assign,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_stats": q_token_stats,
@@ -667,6 +700,33 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
 FROM shared JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
 WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8
 """,
+        "dedup_jaccard_lsh": _SHINGLE_CTE
+        + """
+, sig AS (
+  SELECT doc, seed, min(md5(concat_ws('#', shingle, seed))) AS minhash
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS seed)
+  GROUP BY doc, seed
+), banded AS (
+  SELECT doc, seed // 4 AS band,
+         string_agg(minhash, '|' ORDER BY minhash) AS band_sig
+  FROM sig GROUP BY doc, seed // 4
+), cand AS (
+  SELECT DISTINCT a.doc AS a, b.doc AS b
+  FROM banded a JOIN banded b USING (band, band_sig)
+  WHERE a.doc < b.doc
+), sizes AS (SELECT doc, count(*) AS nsh FROM sh GROUP BY doc),
+shared AS (
+  SELECT c.a, c.b, count(*) AS shared
+  FROM cand c
+  JOIN sh sa ON sa.doc = c.a
+  JOIN sh sb ON sb.doc = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       shared * 1.0 / (sa.nsh + sb.nsh - shared) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8
+""",
         "minhash_lsh": _SHINGLE_CTE
         + """
 , sig AS (
@@ -696,6 +756,20 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
 FROM embeddings
 WHERE vec_id <> 0 AND label = (SELECT label FROM embeddings WHERE vec_id = 0)
 ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        "ivf_assign": """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 4
+), sc AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS cos
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS assigned
+FROM (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+      FROM sc)
+WHERE rk = 1
 """,
         "lang_id": f"""
 SELECT doc_id,
@@ -751,7 +825,33 @@ SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        'text' AS kind
 FROM documents
 """,
-        # simhash: 64-bit bit-majority signature — not ANSI-SQL-expressible
-        # portably (needs per-bit unnest over md5-derived uint64); driver
-        # records the rows-only check for it.
+        # simhash: the 64-bit bit-majority signature recomputed in SQL —
+        # uint64 token hashes from md5 hex prefixes (byte-identical to the
+        # engine's hash_token), per-bit majority via generate_series(0,63),
+        # brute-force Hamming<=3 pairs (the banded Spark join is
+        # recall-exact for Hamming<=3, so the sets coincide)
+        "simhash": """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, t
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+        FROM documents)
+), h AS (
+  SELECT doc, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM toks
+), bits AS (
+  SELECT doc, i,
+         CASE WHEN 2 * sum(((hv >> i) & 1)) >= count(*) THEN 1 ELSE 0 END AS bit
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY doc, i
+), sig0 AS (
+  SELECT doc, CAST(sum((bit::HUGEINT << i)) AS UBIGINT) AS s FROM bits GROUP BY doc
+), sig AS (
+  SELECT doc_id AS doc, coalesce(s, 0::UBIGINT) AS s
+  FROM documents LEFT JOIN sig0 ON sig0.doc = documents.doc_id
+)
+SELECT CAST(a.doc AS BIGINT) AS a, CAST(b.doc AS BIGINT) AS b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc < b.doc
+WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
     }

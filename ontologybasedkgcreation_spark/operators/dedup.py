@@ -111,6 +111,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard over CANDIDATE pairs only — the scale-safe composition
+    (LSH candidates -> verify).  The shared-shingle count is computed by
+    probing b's shingle set with a's (one asymmetric join), so the work is
+    Σ|sh(a)| over candidates, never the quadratic hot-shingle pair join of
+    :func:`ngram_jaccard_pairs` with a high ``max_df``.
+
+    candidates: (a, b); sh: (doc, shingle) distinct.  Returns (a, b, jaccard)
+    with jaccard >= threshold."""
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("nsh"))
+    a_sh = candidates.join(
+        sh.select(F.col("doc").alias("a"), "shingle"), "a"
+    )
+    shared = (
+        a_sh.join(
+            sh.select(F.col("doc").alias("b"), "shingle"), ["b", "shingle"]
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc").alias("a"), F.col("nsh").alias("na")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc").alias("b"), F.col("nsh").alias("nb")), "b"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def lsh_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The 100 TB-shape near-dup operator: MinHash-LSH candidate generation
+    followed by exact-Jaccard verification.  Bounded everywhere — banded
+    bucket join for candidates, per-candidate probe join for the verify."""
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    cand = minhash_lsh_pairs_from_shingles(sh, bands, rows_per_band)
+    return jaccard_verify(cand, sh, threshold)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -140,6 +195,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any full LSH band."""
     sh = shingles(df, id_col, text_col, n)
+    return minhash_lsh_pairs_from_shingles(sh, bands, rows_per_band)
+
+
+def minhash_lsh_pairs_from_shingles(
+    sh: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH band join over a prebuilt (doc, shingle) table."""
     sig = minhash_signatures(sh, bands * rows_per_band)
     banded = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))

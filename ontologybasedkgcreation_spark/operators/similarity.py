@@ -92,6 +92,80 @@ def ivf_topk(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_id)
 
 
+def assign_clusters(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """+ ``label_col``: argmax-cosine centroid assignment, fully JVM-side.
+
+    The k centroids become literal arrays, so assignment is k codegen'd dot
+    products per row — no shuffle, no Python.  Ties break to the lowest
+    centroid id (deterministic).  This is the missing producer for
+    :func:`ivf_topk`'s cluster labels: at 100 TB the assignment runs as one
+    narrow map and the output is written partitioned by ``label_col``."""
+    v = F.col(vec_col).cast("array<double>")
+    nv = _norm(v)
+    # the cosine expression mirrors with_cosine() exactly (same fold order),
+    # which is verified bit-exact against DuckDB's list_cosine_similarity
+    scored = [
+        F.struct(
+            (
+                _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+                / (nv * _norm(F.array(*[F.lit(float(x)) for x in c])))
+            ).alias("cos"),
+            F.lit(-i).alias("neg_id"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return df.withColumn(label_col, (-best.getField("neg_id")).cast("int"))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Lloyd's k-means over an embedding column, Spark-distributed.
+
+    - init: the k lowest-id vectors (deterministic, no RNG);
+    - assign: :func:`assign_clusters` (narrow map);
+    - update: mean per (cluster, dimension) via ``posexplode`` + one
+      groupBy — the only driver traffic per iteration is k*d floats.
+    Empty clusters keep their previous centroid.  Returns the centroid
+    list (feed to :func:`assign_clusters` to label a table)."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+    for _ in range(iters):
+        labeled = assign_clusters(df, centroids, id_col, vec_col, "_c")
+        means = (
+            labeled.select("_c", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("_c", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        by_c: dict = {}
+        for r in means:
+            by_c.setdefault(r["_c"], {})[r["pos"]] = r["m"]
+        for c, dims in by_c.items():
+            new[c] = [dims[i] for i in range(len(dims))]
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
+
+
 def hashing_feature_vectors(
     df: DataFrame, id_col: str, text_col: str, dim: int = 256
 ) -> DataFrame:

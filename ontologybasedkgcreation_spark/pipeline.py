@@ -124,12 +124,25 @@ def primary_case_nodes(assigned: DataFrame, mapping: DataFrame) -> DataFrame:
 def persist_graph(
     spark: SparkSession, out: Dict[str, DataFrame], writer: materialize.GraphWriter
 ) -> None:
-    """Write node/edge (+paragraph) tables with per-stage lineage counts."""
-    n_nodes = out["nodes"].count()
-    writer.write("nodes", out["nodes"], key="node_key")
-    n_edges = out["edges"].count()
-    writer.write("edges", out["edges"], key="url")
-    metrics = {"nodes": n_nodes, "edges": n_edges}
+    """Write node/edge (+paragraph) tables with per-stage lineage counts.
+
+    Counts ride the WRITE action via ``df.observe`` — one job per table, no
+    count()+write() double execution (edges carry two mapping joins; running
+    them twice was pure fixed overhead)."""
+    from pyspark.sql import Observation
+
+    obs_nodes, obs_edges = Observation(), Observation()
+    writer.write(
+        "nodes",
+        out["nodes"].observe(obs_nodes, F.count(F.lit(1)).alias("n")),
+        key="node_key",
+    )
+    writer.write(
+        "edges",
+        out["edges"].observe(obs_edges, F.count(F.lit(1)).alias("n")),
+        key="url",
+    )
+    metrics = {"nodes": obs_nodes.get["n"], "edges": obs_edges.get["n"]}
     if "paragraph_nodes" in out:
         writer.write("paragraph_nodes", out["paragraph_nodes"], key="node_key")
         all_aux = out["paragraph_edges"].unionByName(out["part_of_edges"])

@@ -112,10 +112,11 @@ class CheckpointedPipeline:
         out_path = os.path.join(self.base_path, ASSIGNED_STAGE)
         pages_b = self._bucketed(pages)
         done = set(self.done_buckets(ASSIGNED_STAGE))
-        all_buckets = [
-            r["bucket"] for r in pages_b.select("bucket").distinct().collect()
-        ]
-        pending = sorted(b for b in all_buckets if b not in done)
+        # buckets are range(n_buckets) BY CONSTRUCTION (pmod hash) — never
+        # scan the input just to enumerate them (at 10^12 pages that scan
+        # reads the whole corpus before any work starts); empty buckets cost
+        # one no-op partition and a rows=0 lineage row
+        pending = sorted(b for b in range(self.n_buckets) if b not in done)
         if fail_after_buckets is not None:
             pending = pending[:fail_after_buckets]
         if not pending:
@@ -129,23 +130,32 @@ class CheckpointedPipeline:
         assigned = assigned.join(
             pages_b.select("url", "bucket"), "url"
         )
+        # per-bucket row counts ride the write action itself (one conditional
+        # count per pending bucket) — no second pass re-reading the output
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        assigned = assigned.observe(
+            obs,
+            *[
+                F.sum(
+                    F.when(F.col("bucket") == int(b), 1).otherwise(0)
+                ).alias(f"b{b}")
+                for b in pending
+            ],
+        )
         (
             assigned.repartition("bucket")
             .write.mode("overwrite")
+            # per-write dynamic overwrite: replay replaces ONLY the buckets
+            # present in this subset, independent of session conf
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(out_path)
         )
-        # per-bucket lineage metrics recorded only after the write committed
-        counts = {
-            r["bucket"]: r["n"]
-            for r in self.spark.read.parquet(out_path)
-            .filter(F.col("bucket").isin([int(b) for b in pending]))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
-        for b in pending:
-            counts.setdefault(b, 0)
+        # lineage recorded only after the write committed
+        got = obs.get
+        counts = {b: int(got[f"b{b}"] or 0) for b in pending}
         self._mark_done(ASSIGNED_STAGE, counts)
         return out_path
 

@@ -162,3 +162,37 @@ def test_frame_sample_plan(spark):
     rows = plan.collect()
     assert {r["media_id"] for r in rows} == {3}
     assert [r["frame_ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
+
+
+def test_kmeans_fit_and_assign(spark):
+    """kmeans_fit is deterministic; every point's label is its argmax-cosine
+    centroid; the pipeline closes the IVF loop (fit -> assign -> ivf_topk)."""
+    from ontologybasedkgcreation_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = similarity.kmeans_fit(emb, k=4, iters=3)
+    c2 = similarity.kmeans_fit(emb, k=4, iters=3)
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(c) == len(c1[0]) for c in c1)
+
+    labeled = similarity.assign_clusters(emb, c1).cache()
+    n = labeled.count()
+    assert labeled.filter(F.col("label").isNotNull()).count() == n
+    assert labeled.select("label").distinct().count() > 1
+
+    # verify argmax property on a sample row against numpy
+    import numpy as np
+
+    row = labeled.orderBy("vec_id").first()
+    v = np.array(row["embedding"], dtype=np.float64)
+    cos = [
+        float(v @ np.array(c) / (np.linalg.norm(v) * np.linalg.norm(c)))
+        for c in c1
+    ]
+    assert row["label"] == int(np.argmax(cos))
+
+    # the assigned label feeds ivf_topk directly
+    q = list(labeled.filter(F.col("vec_id") == 1).first()["embedding"])
+    qlab = labeled.filter(F.col("vec_id") == 1).first()["label"]
+    top = similarity.ivf_topk(labeled, q, qlab, k=5, exclude_id=1).collect()
+    assert 0 < len(top) <= 5

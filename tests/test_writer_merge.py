@@ -1,0 +1,78 @@
+"""GraphWriter.merge: incremental multi-batch graph maintenance (parquet
+path).  Batch 2 adds its urls without dropping batch 1's graph; a key
+present in a batch replaces all of that key's stored rows; re-merging the
+same batch is a no-op (node_key idempotence across batches)."""
+
+from pyspark.sql import functions as F
+
+from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, src_key string, relationship string, dst_key string"
+    )
+
+
+def _rows(spark, path):
+    return {
+        (r["url"], r["src_key"], r["relationship"], r["dst_key"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_two_batch_merge_preserves_batch1(spark, tmp_path):
+    w = GraphWriter(str(tmp_path), buckets=8)
+    b1 = [(f"u{i}", f"s{i}", "rel", f"d{i}") for i in range(20)]
+    b2 = [(f"v{i}", f"s{i}", "rel", f"d{i}") for i in range(10)]
+    p = w.merge("edges", _edges(spark, b1), key="url")  # empty table -> write
+    w.merge("edges", _edges(spark, b2), key="url")
+    got = _rows(spark, p)
+    assert got == set(b1) | set(b2)
+
+
+def test_merge_replaces_colliding_keys(spark, tmp_path):
+    w = GraphWriter(str(tmp_path), buckets=8)
+    b1 = [("u1", "s1", "rel", "d1"), ("u1", "s1b", "rel", "d1b"),
+          ("u2", "s2", "rel", "d2")]
+    b2 = [("u1", "s1new", "rel", "d1new")]  # u1's edge group is rewritten
+    w.merge("edges", _edges(spark, b1), key="url")
+    p = w.merge("edges", _edges(spark, b2), key="url")
+    got = _rows(spark, p)
+    assert got == {("u1", "s1new", "rel", "d1new"), ("u2", "s2", "rel", "d2")}
+
+
+def test_remerge_same_batch_is_noop(spark, tmp_path):
+    w = GraphWriter(str(tmp_path), buckets=8)
+    b1 = [(f"u{i}", f"s{i}", "rel", f"d{i}") for i in range(20)]
+    p = w.merge("edges", _edges(spark, b1), key="url")
+    before = _rows(spark, p)
+    w.merge("edges", _edges(spark, b1), key="url")
+    assert _rows(spark, p) == before
+
+
+def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
+    import os
+
+    w = GraphWriter(str(tmp_path), buckets=8)
+    b1 = [(f"u{i}", f"s{i}", "rel", f"d{i}") for i in range(40)]
+    p = w.merge("edges", _edges(spark, b1), key="url")
+    mtimes = {
+        d: os.path.getmtime(os.path.join(p, d))
+        for d in os.listdir(p)
+        if d.startswith("bucket=")
+    }
+    # one new url -> exactly one bucket directory touched
+    w.merge("edges", _edges(spark, [("zz-new", "s", "rel", "d")]), key="url")
+    new_bucket = (
+        spark.createDataFrame([("zz-new",)], "url string")
+        .select(F.pmod(F.xxhash64("url"), F.lit(8)).cast("int").alias("b"))
+        .first()["b"]
+    )
+    touched = {
+        d
+        for d in os.listdir(p)
+        if d.startswith("bucket=")
+        and os.path.getmtime(os.path.join(p, d)) != mtimes.get(d)
+    }
+    assert touched == {f"bucket={new_bucket}"}
