@@ -19,8 +19,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_PAGES = int(os.environ.get("BENCH_PAGES", "4000"))
+# 16 threads, not 32: one JVM's pandas-UDF stages anti-scale past ~16 task
+# threads on this box (measured 2367 p/s @16 vs 1734 @32 on the identical
+# 200k-page job) — the real-cluster analog is 4-8-core executors, which is
+# the regime the scaling table in BENCH/BASELINE.md evidences
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "16")
+# 200k pages x 20 KB = 4 GB of text: kg_pipeline wall time is dominated by
+# parallel work, not the ~30-60 s fixed driver overhead, so pages_per_sec
+# measures the engine (4k pages measured ~98% overhead; 200k is the
+# empirical knee on this box)
+N_PAGES = int(os.environ.get("BENCH_PAGES", "200000"))
 PAGE_CHARS = int(os.environ.get("BENCH_PAGE_CHARS", "20000"))
 
 BENCH_QUERIES = [
@@ -29,9 +37,11 @@ BENCH_QUERIES = [
     "chunk_chain",
     "dedup_exact",
     "dedup_jaccard",
+    "dedup_jaccard_lsh",
     "minhash_lsh",
     "simhash",
     "embedding_topk",
+    "ivf_assign",
     "lang_id",
     "token_stats",
 ]

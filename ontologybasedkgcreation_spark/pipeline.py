@@ -47,10 +47,12 @@ def run_pipeline(
     # localCheckpoint (not cache) so extraction/validation run once AND the
     # lineage is truncated: every downstream action otherwise re-optimizes
     # the full pages->triples logical plan, a serial driver cost that shows
-    # up as fixed overhead at scale
-    assigned = properties.assign_and_titlecase(v["validated"]).localCheckpoint(
-        eager=False
-    )
+    # up as fixed overhead at scale.  Property assignment runs as the JVM
+    # expression path (identical output pinned by test_properties): the
+    # triple table never crosses Arrow for this stage
+    assigned = properties.assign_and_titlecase_expr(
+        v["validated"]
+    ).localCheckpoint(eager=False)
     graph = linking.build_graph(assigned)
     nodes, edges = graph["nodes"], graph["edges"]
 
