@@ -328,6 +328,19 @@ def q_embedding_ivf(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-space near-duplicate pairs within label blocks (the R2
+    refine-pass primitive at corpus scale).  The synthetic embeddings are
+    near-orthogonal (max within-label cosine ~0.47), so the threshold is
+    calibrated to 0.35 to yield a non-trivial pair set for the oracle."""
+    emb = _doc(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.35).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "cosine",
+    )
+
+
 def q_ivf_assign(spark, sf_dir):
     """IVF cluster assignment: argmax-cosine over fixed centroids (the four
     lowest-id vectors — deterministic seeds, so the oracle can name them).
@@ -526,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_ivf": q_embedding_ivf,
+        "embedding_neardup": q_embedding_neardup,
         "ivf_assign": q_ivf_assign,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -756,6 +770,13 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
 FROM embeddings
 WHERE vec_id <> 0 AND label = (SELECT label FROM embeddings WHERE vec_id = 0)
 ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+        "embedding_neardup": """
+SELECT CAST(a.vec_id AS BIGINT) AS a, CAST(b.vec_id AS BIGINT) AS b,
+       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
 """,
         "ivf_assign": """
 WITH cents AS (

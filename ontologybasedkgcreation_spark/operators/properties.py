@@ -89,13 +89,18 @@ def title_props(props: Dict[str, str]) -> Dict[str, str]:
 
 
 # ---------------------------------------------------------------------------
-# JVM (whole-stage-codegen) implementation — the pipeline hot path.
+# Pure-expression implementation (NOT the hot path — measured and rejected).
 #
 # assign_props/title_props above are the executable spec (pinned to the
 # reference prompt examples by tests); the expressions below reproduce them
-# without any Python in the loop, so the 10^7-row triple table never crosses
-# the Arrow boundary for this stage.  test_properties pins expr==Python over
-# the rule matrix.
+# with zero Python, and test_properties pins expr==Python over the rule
+# matrix.  They are NOT used in the pipeline: map/array construction relies
+# on higher-order functions (transform/map_from_arrays), which are
+# CodegenFallback in Spark — interpreted per row with no common-
+# subexpression elimination — and the materialized stage measured 2.5x
+# SLOWER than the Arrow-vectorized Python stage (21.3 s vs 8.4 s at
+# local[8] on 1.7M triples).  Kept as the semantic cross-check and for
+# engines/versions where HOFs codegen.
 # ---------------------------------------------------------------------------
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -112,9 +117,13 @@ def title_expr(c):
     piece = lambda t: F.concat(
         F.upper(F.substring(t, 1, 1)), F.lower(t.substr(F.lit(2), F.length(t)))
     )
-    return F.concat_ws(
+    full = F.concat_ws(
         "", F.transform(F.split(c, r"(?<=[^a-zA-Z])|(?=[^a-zA-Z])"), piece)
     )
+    # most prop-map values are '' (unfilled schema keys) — skip the regex
+    # split for them; single-token lowercase words need only initcap
+    simple = c.rlike("^[a-z]*$")
+    return F.when(c == "", c).when(simple, F.initcap(c)).otherwise(full)
 
 
 def _bag_text(value):
@@ -199,8 +208,9 @@ def assign_props_expr(value_col, schema_col):
 
 
 def assign_and_titlecase_expr(validated: DataFrame) -> DataFrame:
-    """JVM hot path of :func:`assign_and_titlecase` — identical output,
-    zero Python (the triple table stays in Tungsten rows)."""
+    """Expression-only variant of :func:`assign_and_titlecase` — identical
+    output (parity-pinned), zero Python, but interpreted HOFs make it
+    slower than the Arrow stage in practice (see module note above)."""
     return validated.select(
         "url",
         "span_start",

@@ -47,12 +47,13 @@ def run_pipeline(
     # localCheckpoint (not cache) so extraction/validation run once AND the
     # lineage is truncated: every downstream action otherwise re-optimizes
     # the full pages->triples logical plan, a serial driver cost that shows
-    # up as fixed overhead at scale.  Property assignment runs as the JVM
-    # expression path (identical output pinned by test_properties): the
-    # triple table never crosses Arrow for this stage
-    assigned = properties.assign_and_titlecase_expr(
-        v["validated"]
-    ).localCheckpoint(eager=False)
+    # up as fixed overhead at scale.  Property assignment stays the
+    # Arrow-vectorized Python stage: the pure-expression variant exists
+    # (properties.assign_and_titlecase_expr, parity-pinned) but interpreted
+    # higher-order functions made it 2.5x slower when materialized
+    assigned = properties.assign_and_titlecase(v["validated"]).localCheckpoint(
+        eager=False
+    )
     graph = linking.build_graph(assigned)
     nodes, edges = graph["nodes"], graph["edges"]
 

@@ -126,7 +126,7 @@ class CheckpointedPipeline:
         extracted = extract_pages(subset)
         raw = extract_triples(extracted)
         v = validate.validate_triples(self.spark, raw, self.onto)
-        assigned = properties.assign_and_titlecase_expr(v["validated"])
+        assigned = properties.assign_and_titlecase(v["validated"])
         assigned = assigned.join(
             pages_b.select("url", "bucket"), "url"
         )
