@@ -327,6 +327,103 @@ def connected_components(
     )
 
 
+def bm25_adopt_pairs(
+    tok: DataFrame,
+    k1: float = 1.5,
+    b: float = 0.75,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """R5 parity: the reference's BM25 linking stage as a DataFrame plan.
+
+    ``merge_node`` builds a BM25 corpus of existing constrained-key strings
+    and adopts the top-1 hit when its score exceeds 1 (utils.py:352-365,
+    363-365: "score > 1 ⇒ adopt"; known-flaky on 1-3-doc corpora per the
+    FIXME at utils.py:321-323 — tiny-N Robertson IDF goes ≤0, which this
+    deterministic formula reproduces exactly, minus the library's RNG).
+
+    Input ``tok``: the df-capped token index (labels_str, pre_key, token,
+    df) already built by :func:`build_graph` — candidates come from the
+    same rarest-token probe, so the plan is O(#nodes), never corpus×query.
+    Score over shared tokens (set semantics ⇒ tf=1):
+
+        Σ idf(t) · (k1+1) / (1 + k1·(1-b+b·|d|/avgdl)),
+        idf(t) = ln(1 + (N-df+0.5)/(df+0.5))
+
+    Returns the top-1 adopt pair per query node with score > ``threshold``:
+    (a, b) ordered keys, symmetric-closed for CC consumption."""
+    # per-block corpus stats: N, avgdl; per-doc length |d|
+    sizes = tok.groupBy("labels_str", "pre_key").agg(
+        F.count("*").alias("dl")
+    )
+    block = sizes.groupBy("labels_str").agg(
+        F.count("*").alias("N"), F.avg("dl").alias("avgdl")
+    )
+    idf = (
+        tok.select("labels_str", "token", "df")
+        .distinct()
+        .join(F.broadcast(block), "labels_str")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    w_rare = Window.partitionBy("pre_key").orderBy("df", "token")
+    probe = (
+        tok.withColumn("_rk", F.row_number().over(w_rare))
+        .filter(F.col("_rk") == 1)
+        .select("labels_str", "token", F.col("pre_key").alias("q"))
+    )
+    cand = (
+        probe.join(
+            tok.select("labels_str", "token", F.col("pre_key").alias("d")),
+            ["labels_str", "token"],
+        )
+        .filter(F.col("q") != F.col("d"))
+        .select("labels_str", "q", "d")
+        .distinct()
+    )
+    qa = tok.select("labels_str", F.col("pre_key").alias("q"), "token")
+    da = tok.select("labels_str", F.col("pre_key").alias("d"), "token")
+    shared = cand.join(qa, ["labels_str", "q"]).join(
+        da, ["labels_str", "d", "token"]
+    )
+    scored = (
+        shared.join(idf.select("labels_str", "token", "idf", "avgdl"),
+                    ["labels_str", "token"])
+        .join(
+            sizes.select(
+                "labels_str", F.col("pre_key").alias("d"), "dl"
+            ),
+            ["labels_str", "d"],
+        )
+        .withColumn(
+            "term",
+            F.col("idf")
+            * (k1 + 1.0)
+            / (
+                1.0
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("labels_str", "q", "d")
+        .agg(F.sum("term").alias("score"))
+    )
+    w_top = Window.partitionBy("q").orderBy(F.desc("score"), "d")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w_top))
+        .filter((F.col("_rk") == 1) & (F.col("score") > threshold))
+        .select(
+            F.least("q", "d").alias("a"),
+            F.greatest("q", "d").alias("b"),
+            "score",
+        )
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def refine_pairs(
     linkable: DataFrame,
     threshold: float = 0.75,
@@ -439,6 +536,7 @@ def build_graph(
     max_token_df: int = 1_000,
     abbrevs: Optional[Dict[str, str]] = None,
     refine_threshold: Optional[float] = 0.75,
+    accept: str = "containment",
 ) -> Dict[str, DataFrame]:
     """assigned triples -> {nodes, edges, mapping}.
 
@@ -448,6 +546,10 @@ def build_graph(
 
     ``abbrevs``: linking dictionary (default: the reference's 238-entry
     table when present, else the built-in 5 entries).
+    ``accept``: fuzzy-link acceptance rule — 'containment' (default: token
+    subset, recall-exact under the df cap) or 'bm25' (the reference's
+    literal "top-1 score > 1 ⇒ adopt" rule, utils.py:363-365, via
+    :func:`bm25_adopt_pairs`).
     """
     mentions = mentions_frame(assigned)
 
@@ -498,36 +600,39 @@ def build_graph(
         tok_df.filter(F.col("df") <= max_token_df),
         ["labels_str", "token"],
     ).localCheckpoint()  # eager: probe/cand/shared/sizes all reuse it
-    w_rare = Window.partitionBy("pre_key").orderBy("df", "token")
-    probe = (
-        tok.withColumn("_rk", F.row_number().over(w_rare))
-        .filter(F.col("_rk") == 1)
-        .select("labels_str", "token", F.col("pre_key").alias("p"))
-    )
-    cand = (
-        probe.join(
-            tok.select("labels_str", "token", F.col("pre_key").alias("q")),
-            ["labels_str", "token"],
+    if accept == "bm25":
+        pairs = bm25_adopt_pairs(tok).select("a", "b")
+    else:
+        w_rare = Window.partitionBy("pre_key").orderBy("df", "token")
+        probe = (
+            tok.withColumn("_rk", F.row_number().over(w_rare))
+            .filter(F.col("_rk") == 1)
+            .select("labels_str", "token", F.col("pre_key").alias("p"))
         )
-        .filter(F.col("p") != F.col("q"))
-        .select(
-            F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+        cand = (
+            probe.join(
+                tok.select("labels_str", "token", F.col("pre_key").alias("q")),
+                ["labels_str", "token"],
+            )
+            .filter(F.col("p") != F.col("q"))
+            .select(
+                F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    ta = tok.select(F.col("pre_key").alias("a"), "token")
-    tb = tok.select(F.col("pre_key").alias("b"), "token")
-    shared = (
-        cand.join(ta, "a").join(tb, ["b", "token"]).groupBy("a", "b")
-        .agg(F.count("*").alias("shared"))
-    )
-    sizes = tok.groupBy("pre_key").agg(F.count("*").alias("ntok"))
-    pairs = (
-        shared.join(sizes.withColumnRenamed("pre_key", "a").withColumnRenamed("ntok", "na"), "a")
-        .join(sizes.withColumnRenamed("pre_key", "b").withColumnRenamed("ntok", "nb"), "b")
-        .filter(F.col("shared") == F.least(F.col("na"), F.col("nb")))
-        .select("a", "b")
-    )
+        ta = tok.select(F.col("pre_key").alias("a"), "token")
+        tb = tok.select(F.col("pre_key").alias("b"), "token")
+        shared = (
+            cand.join(ta, "a").join(tb, ["b", "token"]).groupBy("a", "b")
+            .agg(F.count("*").alias("shared"))
+        )
+        sizes = tok.groupBy("pre_key").agg(F.count("*").alias("ntok"))
+        pairs = (
+            shared.join(sizes.withColumnRenamed("pre_key", "a").withColumnRenamed("ntok", "na"), "a")
+            .join(sizes.withColumnRenamed("pre_key", "b").withColumnRenamed("ntok", "nb"), "b")
+            .filter(F.col("shared") == F.least(F.col("na"), F.col("nb")))
+            .select("a", "b")
+        )
 
     # R2: similarity-driven refine pass (reference refine_nodes.py:27-96) —
     # catches non-containment aliases (token reorders, typos).  Duplicate

@@ -76,6 +76,49 @@ def start_triples_sink(
     return w.start()
 
 
+def start_graph_maintenance(
+    pages_stream: DataFrame,
+    writer,
+    checkpoint_path: str,
+    onto: Optional[Ontology] = None,
+    available_now: bool = False,
+):
+    """Continuous KG maintenance: each micro-batch runs the full batch
+    pipeline and upserts its nodes/edges into the graph tables via
+    ``GraphWriter.merge`` (bucket-scoped parquet upsert / Iceberg
+    delete+append) — batch N adds or replaces its urls' edge groups without
+    touching earlier batches, and content-hash keys make replayed
+    micro-batches byte-idempotent.
+
+    Scope note (the two-stage design of plans/resume.py): canonicalization
+    runs WITHIN each micro-batch; cross-batch entity consolidation — a new
+    mention enriching an old node's property bag — is reconciled by the
+    periodic global reduce over the full assigned-triples checkpoint
+    (``CheckpointedPipeline.build_graph``), which these per-batch tables
+    serve until it runs."""
+    from .. import pipeline as pl
+
+    onto_resolved = onto or load_ontology()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = pl.run_pipeline(
+            batch_df.sparkSession,
+            batch_df,
+            onto=onto_resolved,
+            with_paragraphs=False,
+        )
+        writer.merge("nodes", out["nodes"], key="node_key")
+        writer.merge("edges", out["edges"], key="url")
+
+    w = (
+        pages_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def page_rate_metrics(
     pages_stream: DataFrame,
     window: str = "10 minutes",

@@ -136,3 +136,61 @@ def test_case_ids_never_fuzzy_merge(spark):
     g = linking.build_graph(_assigned(spark, rows))
     cases = g["nodes"].filter(F.col("head_label") == "CourtCase").count()
     assert cases == 2
+
+
+def _tok_index(spark, docs):
+    """docs: {pre_key: [tokens]} within one 'Court' block -> df-annotated
+    token index shaped like build_graph's."""
+    rows = [("Court", k, t) for k, toks in docs.items() for t in set(toks)]
+    tok = spark.createDataFrame(rows, "labels_str string, pre_key string, token string")
+    dfc = tok.groupBy("labels_str", "token").count().withColumnRenamed("count", "df")
+    return tok.join(dfc, ["labels_str", "token"])
+
+
+def test_bm25_adopt_rule(spark):
+    """R5: 'top-1 score > 1 => adopt' (utils.py:363-365) — a near-duplicate
+    key adopts its match; an unrelated key adopts nothing."""
+    docs = {
+        "q1": ["supreme", "court", "india"],
+        "d1": ["supreme", "court", "india", "delhi"],   # near-dup of q1
+        "d2": ["madras", "high", "court"],
+        "d3": ["bombay", "high", "court"],
+        "d4": ["gauhati", "bench", "tribunal"],         # unrelated
+        "d5": ["armed", "forces", "panel"],
+        "d6": ["consumer", "forum", "raipur"],
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in linking.bm25_adopt_pairs(_tok_index(spark, docs)).collect()
+    }
+    assert ("d1", "q1") in got
+    assert not any("d4" in p for p in got)
+
+
+def test_bm25_tiny_corpus_no_adopt(spark):
+    """The reference's flaky 1-3-doc regime (FIXME utils.py:321-323):
+    Robertson IDF collapses on tiny corpora, so even identical token sets
+    score <= 1 and nothing adopts — reproduced deterministically."""
+    docs = {"q1": ["supreme", "court"], "d1": ["supreme", "court"]}
+    assert linking.bm25_adopt_pairs(_tok_index(spark, docs)).count() == 0
+
+
+def test_build_graph_bm25_mode(spark):
+    """accept='bm25' links the same clear alias the containment rule does."""
+    case = {"hasCaseID": "Criminal Appeal No. 1 Of 2015", "hasCaseName": "A Versus B"}
+    rows = [
+        ("u1", "CourtCase", case, "hasRulingOf", "Court",
+         {"courtName": "High Court Of Judicature At Allahabad Lucknow Bench"}),
+        ("u2", "CourtCase", case, "hasRulingOf", "Court",
+         {"courtName": "High Court Of Judicature At Allahabad Lucknow"}),
+        ("u1", "CourtCase", case, "hasJudge", "Judge", {"firstName": "A", "lastName": "B"}),
+        ("u2", "CourtCase", case, "hasJudge", "Judge", {"firstName": "C", "lastName": "D"}),
+        ("u1", "CourtCase", case, "hasWitness", "Witness",
+         {"wFirstName": "Ram", "wLastName": "Kumar"}),
+        ("u2", "CourtCase", case, "hasWitness", "Witness",
+         {"wFirstName": "Shyam", "wLastName": "Singh"}),
+    ]
+    g = linking.build_graph(
+        _assigned(spark, rows), accept="bm25", refine_threshold=None
+    )
+    assert len(_court_nodes(g)) == 1  # alias adopted via BM25 score > 1

@@ -1,0 +1,89 @@
+"""Physical-plan audits: the optimizations the engine claims must be
+visible in the executed plan — predicate pushdown to the parquet scan,
+column pruning, broadcast joins for dimension/ontology tables, and no
+Python evaluation nodes in JVM-only operators."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_ivf_label_filter_pushed_to_scan(spark):
+    """IVF's cluster-label probe must reach the parquet reader as a pushed
+    filter — at 100 TB with label-partitioned tables this is the partition
+    prune."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_embedding_ivf(spark, SF))
+    assert "PushedFilters" in plan
+    assert "label" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_token_stats(spark):
+    """A 2-column projection must not read the other document columns."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_token_stats(spark, SF))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_dimension_join_is_broadcast(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_revenue_by_nation(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_validation_join_is_broadcast(spark):
+    """Ontology validation must be a broadcast join — never a shuffle of
+    the triple table against a 100-row ontology frame."""
+    from ontologybasedkgcreation_spark import fixtures
+    from ontologybasedkgcreation_spark.ontology import load_ontology
+    from ontologybasedkgcreation_spark.operators import validate
+    from ontologybasedkgcreation_spark.operators.extract import extract_triples
+    from ontologybasedkgcreation_spark.sources.pages import extract_pages
+
+    pages, _ = fixtures.pages_df(spark, 4)
+    v = validate.validate_triples(
+        spark,
+        extract_triples(extract_pages(pages)),
+        load_ontology(),
+        cache=False,
+    )
+    plan = _plan(v["validated"], "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jvm_operators_have_no_python_nodes(spark):
+    """Text-analysis and chunking operators claim pure built-ins: their
+    plans must contain no ArrowEvalPython / BatchEvalPython stages."""
+    import __spark_entry__ as entry
+
+    for q in ("lang_id", "quality", "token_stats", "fingerprint",
+              "chunk_chain", "dedup_exact", "minhash_lsh", "ivf_assign"):
+        plan = _plan(entry.queries()[q](spark, SF), "simple")
+        assert "EvalPython" not in plan, q
+
+
+def test_exact_cosine_stays_in_codegen(spark):
+    """embedding_topk's scoring must be JVM expressions (TakeOrdered over a
+    projected cosine), not a Python stage."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_embedding_topk(spark, SF), "simple")
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -78,3 +78,46 @@ def test_page_rate_metrics_windows(spark, staged):
     assert total == pages.count()
     langs = {r["lang"] for r in rows}
     assert "en" in langs and "hi" in langs
+
+
+def test_streaming_graph_maintenance_two_batches(spark, tmp_path):
+    """foreachBatch + GraphWriter.merge: two page drops arrive as separate
+    micro-batches; the graph tables hold BOTH batches' urls, and replaying
+    the stream over the same checkpoint adds nothing."""
+    from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
+
+    src = str(tmp_path / "pages_in")
+    pages, _ = fixtures.pages_df(spark, 6, non_en_every=0)
+    # two physical files -> two micro-batches at maxFilesPerTrigger=1
+    pages.filter(F.xxhash64("url") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    pages.filter(F.xxhash64("url") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    writer = GraphWriter(str(tmp_path / "graph"), buckets=8)
+    stream = ingest.read_page_stream(spark, src, max_files_per_trigger=1)
+    q = ingest.start_graph_maintenance(
+        stream, writer, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(600)
+
+    edges = spark.read.parquet(str(tmp_path / "graph/edges"))
+    urls = {r["url"] for r in edges.select("url").distinct().collect()}
+    expected = {r["url"] for r in pages.select("url").collect()}
+    assert urls == expected
+    n_edges = edges.count()
+    n_nodes = spark.read.parquet(str(tmp_path / "graph/nodes")).count()
+    assert n_edges > 0 and n_nodes > 0
+
+    # replay: same checkpoint, no new files -> byte-idempotent tables
+    q2 = ingest.start_graph_maintenance(
+        ingest.read_page_stream(spark, src, max_files_per_trigger=1),
+        writer,
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q2.awaitTermination(600)
+    assert spark.read.parquet(str(tmp_path / "graph/edges")).count() == n_edges
+    assert spark.read.parquet(str(tmp_path / "graph/nodes")).count() == n_nodes
