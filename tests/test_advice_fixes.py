@@ -114,3 +114,30 @@ def test_cc_raises_at_iteration_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=1)
+
+
+def test_degenerate_pages_flow_through(spark):
+    """Tag-soup html (no <pre>), empty text, duplicate urls, and non-en
+    rows must flow through the whole pipeline without crash and without
+    spurious triples."""
+    from ontologybasedkgcreation_spark import pipeline
+
+    rows = [
+        ("d1", None, b"<div><p>no pre block <b>here", None, "en"),   # tag soup
+        ("d2", None, b"", None, "en"),                                # empty html
+        ("d3", None, None, "", "en"),                                 # empty text
+        ("d4", None, b"<html><pre>plain words only</pre></html>", None, "hi"),
+        ("dup", None, None, "same text", "en"),
+        ("dup", None, None, "same text", "en"),                       # duplicate url
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = pipeline.run_pipeline(spark, pages, with_paragraphs=True)
+    assert out["raw_triples"].count() == 0           # nothing judgment-shaped
+    assert out["nodes"].count() == 0
+    texts = {r["url"]: r["text"] for r in out["extracted"].collect()}
+    assert texts["d1"] == "no pre block here"        # tag-strip fallback
+    assert texts["d2"] == ""
+    assert out["extracted"].count() == len(rows)     # duplicates pass through
