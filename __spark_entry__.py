@@ -262,6 +262,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard — the RECALL/ORACLE REFERENCE ONLY.  Do NOT copy
+    this for production: max_df=100_000 makes the shared-shingle pair join
+    effectively uncapped (quadratic on hot shingles at scale).  The shape a
+    user should copy is q_dedup_jaccard_lsh (bounded LSH candidates -> exact
+    verify), which returns the identical pair set here at 2.5x less cost."""
     d = _doc(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", n=3, threshold=0.8, max_df=100_000
@@ -335,6 +340,46 @@ def q_embedding_neardup(spark, sf_dir):
     calibrated to 0.35 to yield a non-trivial pair set for the oracle."""
     emb = _doc(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(emb, threshold=0.35).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "cosine",
+    )
+
+
+PLANT_OFFSET = 100_000  # planted-copy id offset shared with the oracle
+
+
+def _planted_neardups(spark, sf_dir):
+    """embeddings ∪ perturbed copies (id+100000, per-dim ±5% scale, cosine
+    vs original ≈ 0.9987): the synthetic embeddings are near-orthogonal (max
+    raw cosine ~0.47), so true near-duplicates are planted to exercise the
+    near-dup operators in their designed regime (threshold 0.9)."""
+    emb = _doc(spark, sf_dir, "embeddings")
+    s = F.array(*[F.lit(1.05 if j % 2 == 0 else 0.95) for j in range(64)])
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    copies = emb.select(
+        (F.col("vec_id") + PLANT_OFFSET).cast("long").alias("vec_id"),
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), s, lambda x, y: x * y
+        ).alias("embedding"),
+        "label",
+    )
+    return base.unionByName(copies)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The scale shape of embedding near-dup: SRP-banded candidates (8 bands
+    x 8 bits, deterministic md5-derived projections) + exact-cosine verify —
+    never all-pairs within a block.  Pair-set equality with the exact
+    all-pairs operator at the same threshold is pinned by pytest."""
+    planted = _planted_neardups(spark, sf_dir)
+    return similarity.cosine_neardup_pairs_lsh(
+        planted, threshold=0.9, dim=64
+    ).select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
         "cosine",
@@ -540,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ivf": q_embedding_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "ivf_assign": q_ivf_assign,
         "lang_id": q_lang_id,
         "quality": q_quality,
@@ -595,6 +641,62 @@ def _cand_values() -> str:
         for i, (a, r, b) in enumerate(VALIDATION_CANDS)
     )
     return f"(VALUES\n    {rows}\n  ) AS cands(i, node1_type, rel, node2_type)"
+
+
+def _srp_lsh_sql() -> str:
+    """The embedding_neardup_lsh oracle: planted copies + the IDENTICAL SRP
+    signature (same md5-derived ±1 matrix as the Spark plan, same sequential
+    double fold — list_dot_product verified bit-exact against F.aggregate) +
+    band join + exact-cosine verify."""
+    from ontologybasedkgcreation_spark.operators.similarity import srp_matrix
+
+    R = srp_matrix(64, 64)
+
+    def band_expr(b: int) -> str:
+        terms = []
+        for i in range(8):
+            lit = (
+                "["
+                + ",".join("1" if x > 0 else "-1" for x in R[b * 8 + i])
+                + "]::DOUBLE[]"
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    sig_cols = ",\n         ".join(f"{band_expr(b)} AS b{b}" for b in range(8))
+    banded = "\n  UNION ALL ".join(
+        f"SELECT id, label, {b} AS band, b{b} AS band_val FROM sig"
+        for b in range(8)
+    )
+    return f"""
+WITH planted AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, label, embedding::DOUBLE[] AS v
+  FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id + {PLANT_OFFSET} AS BIGINT) AS id, label,
+         list_transform(generate_series(1, 64),
+           i -> embedding[i]::DOUBLE *
+                (CASE WHEN i % 2 = 1 THEN 1.05 ELSE 0.95 END)) AS v
+  FROM embeddings
+), sig AS (
+  SELECT id, label,
+         {sig_cols}
+  FROM planted
+), banded AS (
+  {banded}
+), cand AS (
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM banded a JOIN banded b
+    ON a.label = b.label AND a.band = b.band AND a.band_val = b.band_val
+   AND a.id < b.id
+)
+SELECT c.a, c.b, list_cosine_similarity(va.v, vb.v) AS cosine
+FROM cand c JOIN planted va ON va.id = c.a JOIN planted vb ON vb.id = c.b
+WHERE list_cosine_similarity(va.v, vb.v) >= 0.9
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -778,6 +880,7 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
 """,
+        "embedding_neardup_lsh": _srp_lsh_sql(),
         "ivf_assign": """
 WITH cents AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 4

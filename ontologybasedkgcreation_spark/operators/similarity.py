@@ -205,7 +205,14 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
 ) -> DataFrame:
-    """Embedding near-duplicate pairs within blocks: (a, b, cosine)."""
+    """Embedding near-duplicate pairs within blocks: (a, b, cosine).
+
+    NOTE — recall oracle, not the scale shape: pairing is all-pairs within
+    each block, O(ΣB²) over block sizes; a skewed cluster makes one block
+    quadratic at 100 TB.  Production copies should use
+    :func:`cosine_neardup_pairs_lsh` (SRP-banded candidates + the same exact
+    verify); this exact variant stays as the recall reference the LSH
+    variant is pinned against."""
     v = df.select(
         F.col(id_col).alias("a"),
         F.col(block_col).alias("blk"),
@@ -219,6 +226,108 @@ def cosine_neardup_pairs(
     return (
         v.join(w, "blk")
         .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def srp_matrix(bits: int, dim: int) -> List[List[float]]:
+    """Deterministic ±1 signed-random-projection matrix (md5-derived, no RNG
+    state) — the SAME literals feed the Spark plan and the SQL oracle, so
+    signature bits agree bit-for-bit across engines (sequential double fold
+    == DuckDB ``list_dot_product``, verified)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"srp:{i}:{j}".encode()).digest()[0] & 1
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(bits)
+    ]
+
+
+def srp_band_cols(vec_col, bits: int = 64, band_bits: int = 8, dim: int = 64):
+    """One integer column per LSH band: band b packs ``band_bits`` SRP sign
+    bits (bit i = 1 iff dot(v, R[b*band_bits+i]) >= 0).  Pure JVM fold
+    expressions — no Python, engine-portable."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+        "array<double>"
+    )
+    R = srp_matrix(bits, dim)
+    bit = [
+        (_dot(v, F.array(*[F.lit(x) for x in row])) >= 0).cast("long")
+        for row in R
+    ]
+    out = []
+    for b in range(bits // band_bits):
+        acc = F.lit(0).cast("long")
+        for i in range(band_bits):
+            acc = acc + bit[b * band_bits + i] * F.lit(1 << i)
+        out.append(acc.alias(f"band{b}"))
+    return out
+
+
+def cosine_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    bits: int = 64,
+    band_bits: int = 8,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """The 100 TB-shape embedding near-dup: SRP (SimHash-for-cosine) banded
+    candidate generation + exact-cosine verify.
+
+    Candidates are pairs sharing ANY (block, band, band-signature) bucket —
+    cost is the band-bucket join (bounded by bucket occupancy, never all-pairs
+    within a block), then the exact verify runs only over candidates.  With
+    8 bands x 8 bits, a true pair at cosine 0.9987 misses all bands with
+    probability ~1e-8 while ~96% of orthogonal pairs are never paired; the
+    pytest pins pair-set EQUALITY with :func:`cosine_neardup_pairs` at the
+    same threshold on planted near-duplicates.  Replaces the reference's
+    Qdrant kNN candidate step (refine_nodes.py:45-57) at corpus scale."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    n_bands = bits // band_bits
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        *srp_band_cols(vec_col, bits, band_bits, dim),
+    )
+    banded = sig.select(
+        "id",
+        "blk",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band", "band_val"
+        ),
+    )
+    a = banded.select(F.col("id").alias("a"), "blk", "band", "band_val")
+    b = banded.select(F.col("id").alias("b"), "blk", "band", "band_val")
+    cand = (
+        a.join(b, ["blk", "band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    vb = df.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
         .withColumn(
             "cosine",
             _dot(F.col("va"), F.col("vb"))

@@ -93,6 +93,31 @@ def test_cosine_neardup_pairs_threshold(emb):
         assert r["cosine"] >= 0.5 and r["a"] < r["b"]
 
 
+def test_neardup_lsh_equals_exact_on_planted(spark):
+    """The scale-shape SRP-LSH near-dup must return the IDENTICAL pair set
+    as the exact all-pairs operator at the same threshold on planted
+    near-duplicates (perturbed copies, cosine ~0.9987) — LSH recall is
+    deterministic given the fixed md5-derived projection matrix, so this
+    pins it forever."""
+    import __spark_entry__ as entry
+
+    planted = entry._planted_neardups(spark, SF)
+    exact = {
+        (r["a"], r["b"])
+        for r in similarity.cosine_neardup_pairs(
+            planted, threshold=0.9
+        ).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in similarity.cosine_neardup_pairs_lsh(
+            planted, threshold=0.9, dim=64
+        ).collect()
+    }
+    assert len(exact) == planted.count() // 2  # one pair per planted copy
+    assert lsh == exact
+
+
 def test_lang_id_on_english_salad(docs):
     out = text_analysis.lang_id(docs, "doc_id", "text")
     en_ratio = out.filter(F.col("lang_pred") == "en").count() / out.count()
