@@ -531,6 +531,31 @@ def refine_pairs(
     )
 
 
+def tokenized_node_frame(
+    with_identity: DataFrame, abbrevs: Optional[Dict[str, str]] = None
+) -> DataFrame:
+    """+ norm_identity, tokens over a node frame carrying (labels_str,
+    head_label, pre_key, props, identity, labels), eagerly checkpointed —
+    the input shape of :func:`link_nodes`."""
+    return (
+        with_identity
+        # identity normalization: JVM regexp chain for small dictionaries,
+        # single-pass Arrow UDF for the 435-entry default (see
+        # normalize_identity_col)
+        .withColumn("norm_identity", normalize_identity_col("identity", abbrevs))
+        .withColumn(
+            "tokens",
+            F.array_except(
+                F.split(F.col("norm_identity"), " "),
+                F.array(*[F.lit(t) for t in STOP_TOKENS]),
+            ),
+        )
+        # eager checkpoint: the frame has five downstream consumers; one
+        # deterministic materialization job, no recomputation cascades
+        .localCheckpoint()
+    )
+
+
 def build_graph(
     assigned: DataFrame,
     max_token_df: int = 1_000,
@@ -544,8 +569,8 @@ def build_graph(
     edges  : src_key, relationship, dst_key, url, span_start, triple_id
     mapping: pre_key -> node_key
 
-    ``abbrevs``: linking dictionary (default: the reference's 238-entry
-    table when present, else the built-in 5 entries).
+    ``abbrevs``: linking dictionary (default: the reference's abbreviation
+    file when present, else the built-in 5 entries).
     ``accept``: fuzzy-link acceptance rule — 'containment' (default: token
     subset, recall-exact under the df cap) or 'bm25' (the reference's
     literal "top-1 score > 1 ⇒ adopt" rule, utils.py:363-365, via
@@ -553,27 +578,68 @@ def build_graph(
     """
     mentions = mentions_frame(assigned)
 
-    nodes0 = (
-        mentions.groupBy("labels_str", "head_label", "pre_key")
-        .agg(F.first("canon", ignorenulls=True).alias("props"),
-             F.first("identity", ignorenulls=True).alias("identity"),
-             F.first("labels", ignorenulls=True).alias("labels"))
-        # identity normalization: JVM regexp chain for small dictionaries,
-        # single-pass Arrow UDF for the 243-entry default (see
-        # normalize_identity_col)
-        .withColumn("norm_identity", normalize_identity_col("identity", abbrevs))
-        .withColumn(
-            "tokens",
-            F.array_except(
-                F.split(F.col("norm_identity"), " "),
-                F.array(*[F.lit(t) for t in STOP_TOKENS]),
-            ),
-        )
-        # eager checkpoint: nodes0 has five downstream consumers; one
-        # deterministic materialization job, no recomputation cascades
-        .localCheckpoint()
+    nodes0 = tokenized_node_frame(
+        mentions.groupBy("labels_str", "head_label", "pre_key").agg(
+            F.first("canon", ignorenulls=True).alias("props"),
+            F.first("identity", ignorenulls=True).alias("identity"),
+            F.first("labels", ignorenulls=True).alias("labels"),
+        ),
+        abbrevs,
     )
 
+    linked = link_nodes(
+        nodes0,
+        max_token_df=max_token_df,
+        refine_threshold=refine_threshold,
+        accept=accept,
+    )
+    nodes_final, mapping = linked["nodes"], linked["mapping"]
+
+    # edge endpoints keyed by pure expressions on the triple row — no
+    # mention self-joins on the hot path, only the two mapping joins
+    edges = (
+        assigned.select(
+            "url",
+            "span_start",
+            "triple_id",
+            "relationship",
+            pre_key_expr(F.col("node1_labels"), F.col("node1_props")).alias(
+                "src_pre"
+            ),
+            pre_key_expr(F.col("node2_labels"), F.col("node2_props")).alias(
+                "dst_pre"
+            ),
+        )
+        .join(
+            mapping.withColumnRenamed("pre_key", "src_pre").withColumnRenamed(
+                "node_key", "src_key"
+            ),
+            "src_pre",
+        )
+        .join(
+            mapping.withColumnRenamed("pre_key", "dst_pre").withColumnRenamed(
+                "node_key", "dst_key"
+            ),
+            "dst_pre",
+        )
+        .select("src_key", "relationship", "dst_key", "url", "span_start", "triple_id")
+    )
+    return {"nodes": nodes_final, "edges": edges, "mapping": mapping}
+
+
+def link_nodes(
+    nodes0: DataFrame,
+    max_token_df: int = 1_000,
+    refine_threshold: Optional[float] = 0.75,
+    accept: str = "containment",
+) -> Dict[str, DataFrame]:
+    """The linking + consolidation core over a tokenized node frame
+    (:func:`tokenized_node_frame`) -> {nodes, mapping}.
+
+    Shared by :func:`build_graph` (mention-level frame) and the periodic
+    cross-batch reconcile (stored node tables re-linked — node_key and
+    pre_key use the SAME content formula, so stored nodes re-enter the
+    linker as their own mentions; streaming/ingest.reconcile_graph)."""
     # fuzzy linking only for entity-like nodes (not free-text nodes)
     linkable = nodes0.filter(
         ~(
@@ -698,36 +764,7 @@ def build_graph(
         "node_key", "head_label", "labels", "props"
     ).dropDuplicates(["node_key"]).cache()
 
-    # edge endpoints keyed by pure expressions on the triple row — no
-    # mention self-joins on the hot path, only the two mapping joins
-    edges = (
-        assigned.select(
-            "url",
-            "span_start",
-            "triple_id",
-            "relationship",
-            pre_key_expr(F.col("node1_labels"), F.col("node1_props")).alias(
-                "src_pre"
-            ),
-            pre_key_expr(F.col("node2_labels"), F.col("node2_props")).alias(
-                "dst_pre"
-            ),
-        )
-        .join(
-            mapping.withColumnRenamed("pre_key", "src_pre").withColumnRenamed(
-                "node_key", "src_key"
-            ),
-            "src_pre",
-        )
-        .join(
-            mapping.withColumnRenamed("pre_key", "dst_pre").withColumnRenamed(
-                "node_key", "dst_key"
-            ),
-            "dst_pre",
-        )
-        .select("src_key", "relationship", "dst_key", "url", "span_start", "triple_id")
-    )
-    return {"nodes": nodes_final, "edges": edges, "mapping": mapping}
+    return {"nodes": nodes_final, "mapping": mapping}
 
 
 def triple_set(nodes: DataFrame, edges: DataFrame) -> DataFrame:

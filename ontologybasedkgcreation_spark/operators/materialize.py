@@ -268,6 +268,14 @@ def node_feature_vectors(nodes: DataFrame, dim: int = 256) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def pruned_stored_rows(spark, path: str, buckets: list) -> DataFrame:
+    """Stored rows of the affected buckets only — the literal ``isin`` on
+    the partition column prunes the scan statically (PartitionFilters)."""
+    return spark.read.parquet(path).filter(
+        F.col("bucket").isin([int(b) for b in buckets])
+    )
+
+
 class GraphWriter:
     """nodes/edges/lineage writer behind one interface.
 
@@ -279,13 +287,67 @@ class GraphWriter:
       buckets are rewritten (dynamic partition overwrite) as
       (old rows whose ``key`` does not collide) ∪ (new rows) — batch N
       adds/replaces its keys without touching batch 1..N-1's buckets.
+      The read side is STATICALLY pruned: the affected-bucket list (tiny,
+      ≤ ``buckets`` ints) is collected and filtered with a literal
+      ``isin``, so the parquet scan's PartitionFilters name only affected
+      buckets — no reliance on dynamic partition pruning firing.  The
+      surviving old rows are snapshotted (eager ``localCheckpoint``) before
+      the overwrite, so the job never reads the files it is replacing.
       Iceberg: delete-matching-keys + append on the catalog table.
+
+    The bucket count is persisted beside the table (``_buckets.json``,
+    underscore-prefixed so Spark readers ignore it) and asserted on every
+    merge — merging with a different ``buckets`` than the stored table
+    would silently leave duplicate keys in unaffected buckets.
+
+    EXPERIMENTAL — the ``fmt='iceberg'`` branch: no Iceberg runtime
+    jar/catalog exists in this environment, so that branch has never
+    executed; its SQL/statement shapes are pinned by contract tests
+    (test_writer_merge) instead.  The parquet path is the tested,
+    behavior-equivalent sink.
     """
 
     def __init__(self, base_path: str, fmt: str = "parquet", buckets: int = 32):
         self.base_path = base_path
         self.fmt = fmt
         self.buckets = buckets
+
+    # -- bucket-count sidecar (local/posix paths; a DFS deployment would
+    #    carry the same fact in table properties) --------------------------
+
+    def _meta_file(self, path: str) -> str:
+        return os.path.join(path, "_buckets.json")
+
+    def _write_meta(self, path: str) -> None:
+        import json
+
+        os.makedirs(path, exist_ok=True)
+        with open(self._meta_file(path), "w", encoding="utf-8") as fh:
+            json.dump({"buckets": self.buckets}, fh)
+
+    def _assert_meta(self, path: str) -> None:
+        import json
+
+        try:
+            with open(self._meta_file(path), encoding="utf-8") as fh:
+                stored = json.load(fh)["buckets"]
+        except OSError:
+            return  # pre-sidecar table: nothing to check against
+        if stored != self.buckets:
+            raise ValueError(
+                f"GraphWriter(buckets={self.buckets}) cannot merge into "
+                f"{path} written with buckets={stored} — keys would land in "
+                f"different buckets and leave stale duplicates"
+            )
+
+    @staticmethod
+    def iceberg_merge_delete_sql(table: str, key: str, batch_view: str) -> str:
+        """The iceberg-branch DELETE statement (contract-pinned; the branch
+        itself is unexercised here — see class docstring)."""
+        return (
+            f"DELETE FROM {table} WHERE {key} IN "
+            f"(SELECT {key} FROM {batch_view})"
+        )
 
     def _bucketed(self, df: DataFrame, key: str) -> DataFrame:
         # int (not long): a read-back partition column infers as int, and
@@ -307,6 +369,7 @@ class GraphWriter:
             .partitionBy("bucket")
             .parquet(path)
         )
+        self._write_meta(path)
         return path
 
     def merge(self, name: str, df: DataFrame, key: str = "url") -> str:
@@ -317,11 +380,9 @@ class GraphWriter:
         spark = df.sparkSession
         if self.fmt == "iceberg":
             tbl = f"{self.base_path}.{name}"
-            df.createOrReplaceTempView(f"_merge_batch_{name}")
-            spark.sql(
-                f"DELETE FROM {tbl} WHERE {key} IN "
-                f"(SELECT {key} FROM _merge_batch_{name})"
-            )
+            view = f"_merge_batch_{name}"
+            df.createOrReplaceTempView(view)
+            spark.sql(self.iceberg_merge_delete_sql(tbl, key, view))
             df.writeTo(tbl).append()
             return tbl
         path = os.path.join(self.base_path, name)
@@ -329,13 +390,20 @@ class GraphWriter:
             existing = spark.read.parquet(path)
         except Exception:
             return self.write(name, df, key)
-        # the batch plan feeds three consumers (affected buckets, collision
-        # keys, the union) — truncate it once
-        new = self._bucketed(df, key).localCheckpoint(eager=False)
-        affected = new.select("bucket").distinct()
-        old_keep = existing.join(
-            F.broadcast(affected), "bucket", "left_semi"
-        ).join(new.select(key).distinct(), key, "left_anti")
+        self._assert_meta(path)
+        # eager: the batch feeds three consumers (affected-bucket collect,
+        # collision keys, the union) — materialize once
+        new = self._bucketed(df, key).localCheckpoint()
+        buckets = [r["bucket"] for r in new.select("bucket").distinct().collect()]
+        # static partition pruning: a literal isin on the partition column —
+        # the scan's PartitionFilters name ONLY affected buckets (pinned by
+        # test_plans), independent of whether DPP would fire on this shape
+        old_keep = pruned_stored_rows(spark, path, buckets).join(
+            new.select(key).distinct(), key, "left_anti"
+        )
+        # snapshot the survivors BEFORE overwriting the same path: the write
+        # must never depend on reading files it is about to replace
+        old_keep = old_keep.localCheckpoint()
         (
             old_keep.unionByName(new)
             .repartition("bucket")

@@ -119,6 +119,91 @@ def start_graph_maintenance(
     return w.start()
 
 
+def reconcile_graph(
+    spark: SparkSession,
+    writer,
+    abbrevs=None,
+    max_token_df: int = 1_000,
+    refine_threshold: float = 0.75,
+    accept: str = "containment",
+) -> dict:
+    """The periodic CROSS-BATCH entity consolidation for streaming graph
+    maintenance.
+
+    ``start_graph_maintenance`` canonicalizes within each micro-batch, so a
+    new mention of an entity first seen in an earlier batch lands as a
+    second node (the content-keyed bags differ) until this reconcile runs.
+    Because ``node_key`` uses the SAME content formula as a mention's
+    ``pre_key`` (sha256 of labels + canonical bag), the stored node table
+    re-enters the linker directly as its own mention frame: re-link, CC,
+    re-consolidate, then rewire every stored edge through the old-key →
+    new-key mapping.  Consolidation (per-prop longest value) and the
+    containment/refine pair rules are content-based, so reconciling batches
+    1..N equals the single-shot build over the union for alias merges —
+    pinned by test_streaming.
+
+    At scale this is the periodic global reduce of the two-stage design
+    (plans/resume.py): per-batch work stays narrow/incremental; the reduce
+    runs on whatever cadence staleness tolerance allows.  Reference analog:
+    linking against live graph state at ``utils.py:337-380`` merges on
+    arrival — this is the batch-engine equivalent."""
+    import os
+
+    from ..operators import linking
+    from ..operators.linking import identity_text_col
+
+    nodes_path = os.path.join(writer.base_path, "nodes")
+    edges_path = os.path.join(writer.base_path, "edges")
+    stored_nodes = spark.read.parquet(nodes_path).drop("bucket")
+    stored_edges = spark.read.parquet(edges_path).drop("bucket")
+
+    nodes0 = linking.tokenized_node_frame(
+        stored_nodes.select(
+            F.concat_ws(",", "labels").alias("labels_str"),
+            "head_label",
+            F.col("node_key").alias("pre_key"),
+            "props",
+            "labels",
+        ).withColumn("identity", identity_text_col("head_label", "props")),
+        abbrevs,
+    )
+    linked = linking.link_nodes(
+        nodes0,
+        max_token_df=max_token_df,
+        refine_threshold=refine_threshold,
+        accept=accept,
+    )
+    mapping = linked["mapping"]
+    rewired = (
+        stored_edges.join(
+            mapping.withColumnRenamed("pre_key", "src_key").withColumnRenamed(
+                "node_key", "new_src"
+            ),
+            "src_key",
+        )
+        .join(
+            mapping.withColumnRenamed("pre_key", "dst_key").withColumnRenamed(
+                "node_key", "new_dst"
+            ),
+            "dst_key",
+        )
+        .select(
+            F.col("new_src").alias("src_key"),
+            "relationship",
+            F.col("new_dst").alias("dst_key"),
+            "url",
+            "span_start",
+            "triple_id",
+        )
+    )
+    # snapshot before the writes: rewired lazily reads the very edges path
+    # write() is about to overwrite (same discipline as GraphWriter.merge)
+    rewired = rewired.localCheckpoint()
+    writer.write("nodes", linked["nodes"], key="node_key")
+    writer.write("edges", rewired, key="url")
+    return {"nodes": linked["nodes"], "edges": rewired, "mapping": mapping}
+
+
 def page_rate_metrics(
     pages_stream: DataFrame,
     window: str = "10 minutes",

@@ -87,3 +87,34 @@ def test_exact_cosine_stays_in_codegen(spark):
     plan = _plan(entry.q_embedding_topk(spark, SF), "simple")
     assert "EvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_neardup_lsh_band_join_no_python(spark):
+    """The SRP-LSH near-dup candidate+verify plan is pure JVM expressions."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_embedding_neardup_lsh(spark, SF), "simple")
+    assert "EvalPython" not in plan
+
+
+def test_merge_read_prunes_to_affected_buckets(spark, tmp_path):
+    """GraphWriter.merge's read side must carry the affected buckets as a
+    STATIC PartitionFilters on the parquet scan — only those partition
+    directories are read, regardless of dynamic-partition-pruning firing."""
+    from ontologybasedkgcreation_spark.operators.materialize import (
+        GraphWriter,
+        pruned_stored_rows,
+    )
+
+    w = GraphWriter(str(tmp_path), buckets=8)
+    rows = [(f"u{i}", f"s{i}") for i in range(64)]
+    p = w.write(
+        "edges", spark.createDataFrame(rows, "url string, src_key string")
+    )
+    import re
+
+    plan = _plan(pruned_stored_rows(spark, p, [2, 5]))
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    m = re.search(r"IN \(([^)]*)\)", pf)
+    assert m, f"no static IN filter in PartitionFilters: {pf}"
+    assert {int(x) for x in m.group(1).split(",")} == {2, 5}

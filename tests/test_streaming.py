@@ -121,3 +121,92 @@ def test_streaming_graph_maintenance_two_batches(spark, tmp_path):
     q2.awaitTermination(600)
     assert spark.read.parquet(str(tmp_path / "graph/edges")).count() == n_edges
     assert spark.read.parquet(str(tmp_path / "graph/nodes")).count() == n_nodes
+
+
+def _assigned_rows(spark, rows, start=0):
+    """rows: (url, n1_type, n1_props, rel, n2_type, n2_props); triple ids are
+    globally numbered from ``start`` so per-batch and single-shot frames
+    carry identical ids."""
+    data = [
+        (url, 0, f"t{start + i}", t1, [t1], p1, rel, t2, [t2], p2)
+        for i, (url, t1, p1, rel, t2, p2) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "url string, span_start long, triple_id string, "
+        "node1_type string, node1_labels array<string>, "
+        "node1_props map<string,string>, relationship string, "
+        "node2_type string, node2_labels array<string>, "
+        "node2_props map<string,string>",
+    )
+
+
+def _node_set(df):
+    return {
+        (
+            r["node_key"],
+            r["head_label"],
+            tuple(r["labels"]),
+            tuple(sorted(r["props"].items())),
+        )
+        for r in df.collect()
+    }
+
+
+def _edge_set(df):
+    return {
+        (r["src_key"], r["relationship"], r["dst_key"], r["url"],
+         r["span_start"], r["triple_id"])
+        for r in df.collect()
+    }
+
+
+def test_reconcile_merges_cross_batch_alias(spark, tmp_path):
+    """Cross-batch entity consolidation: batch 2 mentions batch 1's Court by
+    an abbreviation alias; per-batch maintenance stores TWO Court nodes, the
+    periodic reconcile merges them and rewires edges — byte-identical to the
+    single-shot build over both batches."""
+    from ontologybasedkgcreation_spark.operators import linking
+    from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
+
+    case1 = {"hasCaseID": "Criminal Appeal No. 1 Of 2015",
+             "hasCaseName": "A Versus B"}
+    case2 = {"hasCaseID": "Criminal Appeal No. 2 Of 2016",
+             "hasCaseName": "C Versus D"}
+    b1 = [("u1", "CourtCase", case1, "hasRulingOf", "Court",
+           {"courtName": "Delhi High Court"})]
+    b2 = [("u2", "CourtCase", case2, "hasRulingOf", "Court",
+           {"courtName": "DHC"})]
+
+    writer = GraphWriter(str(tmp_path / "graph"), buckets=8)
+    for start, rows in ((0, b1), (1, b2)):
+        g = linking.build_graph(_assigned_rows(spark, rows, start=start))
+        writer.merge("nodes", g["nodes"], key="node_key")
+        writer.merge("edges", g["edges"], key="url")
+
+    nodes_path = str(tmp_path / "graph/nodes")
+    edges_path = str(tmp_path / "graph/edges")
+    # before the reconcile: the alias is a second node (documented gap)
+    assert (
+        spark.read.parquet(nodes_path)
+        .filter(F.col("head_label") == "Court").count() == 2
+    )
+
+    ingest.reconcile_graph(spark, writer)
+
+    single = linking.build_graph(
+        _assigned_rows(spark, b1 + b2, start=0)
+    )
+    stored_nodes = spark.read.parquet(nodes_path).drop("bucket")
+    stored_edges = spark.read.parquet(edges_path).drop("bucket")
+    assert (
+        stored_nodes.filter(F.col("head_label") == "Court").count() == 1
+    )
+    assert _node_set(stored_nodes) == _node_set(single["nodes"])
+    assert _edge_set(stored_edges) == _edge_set(single["edges"])
+
+    # reconcile is idempotent: a second run changes nothing
+    ingest.reconcile_graph(spark, writer)
+    assert _node_set(spark.read.parquet(nodes_path).drop("bucket")) == _node_set(
+        single["nodes"]
+    )

@@ -76,3 +76,68 @@ def test_merge_rewrites_only_affected_buckets(spark, tmp_path):
         and os.path.getmtime(os.path.join(p, d)) != mtimes.get(d)
     }
     assert touched == {f"bucket={new_bucket}"}
+
+
+def test_merge_bucket_count_mismatch_raises(spark, tmp_path):
+    """A merge with a different bucket count than the stored table must be
+    refused — keys would hash to different buckets and leave stale rows."""
+    import pytest
+
+    w8 = GraphWriter(str(tmp_path), buckets=8)
+    w8.merge("edges", _edges(spark, [("u1", "s1", "rel", "d1")]), key="url")
+    w4 = GraphWriter(str(tmp_path), buckets=4)
+    with pytest.raises(ValueError, match="buckets=8"):
+        w4.merge("edges", _edges(spark, [("u2", "s2", "rel", "d2")]), key="url")
+
+
+class _IcebergStub:
+    """Records the exact calls the (never-executed-here) iceberg branch makes
+    — the contract test for fmt='iceberg', which has no runtime jar/catalog
+    in this environment."""
+
+    def __init__(self):
+        self.calls = []
+        self.sparkSession = self
+
+    def createOrReplaceTempView(self, name):
+        self.calls.append(("view", name))
+
+    def sql(self, stmt):
+        self.calls.append(("sql", stmt))
+
+    def writeTo(self, table):
+        self.calls.append(("writeTo", table))
+        return self
+
+    def append(self):
+        self.calls.append(("append",))
+
+    def createOrReplace(self):
+        self.calls.append(("createOrReplace",))
+
+
+def test_iceberg_merge_contract():
+    """fmt='iceberg' merge = DELETE-matching-keys + append, in that order,
+    against catalog.table — the statement shapes are pinned even though no
+    Iceberg runtime exists here (branch marked experimental)."""
+    w = GraphWriter("cat.db", fmt="iceberg")
+    stub = _IcebergStub()
+    out = w.merge("edges", stub, key="url")
+    assert out == "cat.db.edges"
+    assert stub.calls == [
+        ("view", "_merge_batch_edges"),
+        ("sql", "DELETE FROM cat.db.edges WHERE url IN "
+                "(SELECT url FROM _merge_batch_edges)"),
+        ("writeTo", "cat.db.edges"),
+        ("append",),
+    ]
+
+
+def test_iceberg_write_contract():
+    """fmt='iceberg' write is a FULL REPLACE (createOrReplace), as the
+    docstring promises."""
+    w = GraphWriter("cat.db", fmt="iceberg")
+    stub = _IcebergStub()
+    out = w.write("nodes", stub, key="node_key")
+    assert out == "cat.db.nodes"
+    assert stub.calls == [("writeTo", "cat.db.nodes"), ("createOrReplace",)]
