@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ontologybasedkgcreation_spark import fixtures, pipeline
 from ontologybasedkgcreation_spark.ontology import load_ontology
-from ontologybasedkgcreation_spark.operators import dedup, similarity
+from ontologybasedkgcreation_spark.operators import dedup, linking, similarity
 
 STRIDE = 1180  # fixed-size chunk stride (size 1200, overlap 20)
 CHUNK = 1200
@@ -404,6 +404,32 @@ def q_ivf_assign(spark, sf_dir):
     )
 
 
+def q_bm25_adopt(spark, sf_dir):
+    """R5/M1: the reference's literal BM25 linking stage ("top-1 score > 1 ⇒
+    adopt", utils.py:363-365) as a DataFrame plan over the documents corpus:
+    distinct whitespace tokens per doc form the df-capped index, candidates
+    come from the rarest-token probe, Robertson-IDF BM25 scores the shared
+    tokens.  Scores are quantized to 9 decimals before ranking so the
+    DuckDB oracle's (order-dependent) float sums rank identically."""
+    d = _doc(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            F.col("doc_id").cast("string").alias("pre_key"),
+            F.explode(F.array_distinct(_toks(F.col("text")))).alias("token"),
+        )
+        .withColumn("labels_str", F.lit("Document"))
+    )
+    tok_df = tok.groupBy("labels_str", "token").agg(F.count("*").alias("df"))
+    tok = tok.join(
+        tok_df.filter(F.col("df") <= 1000), ["labels_str", "token"]
+    )
+    return linking.bm25_adopt_pairs(tok, quantize=9).select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "score",
+    )
+
+
 def q_lang_id(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
@@ -591,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
+        "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
         "media_bytes": q_media_bytes,
@@ -929,6 +956,60 @@ FROM documents
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
 FROM documents
+""",
+        # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
+        # round to 9 decimals BEFORE ranking (float sums are order-dependent
+        # across engines); doc ids stay VARCHAR through ranking so the
+        # (score desc, d) tie-break collates identically
+        "bm25_adopt": f"""
+WITH tok AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc, t AS token
+  FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+), tdf AS (
+  SELECT token, count(*) AS df FROM tok GROUP BY token
+), tok2 AS (
+  SELECT tok.doc, tok.token, tdf.df
+  FROM tok JOIN tdf USING (token) WHERE tdf.df <= 1000
+), sizes AS (
+  SELECT doc, count(*) AS dl FROM tok2 GROUP BY doc
+), blk AS (
+  SELECT count(*) AS N, avg(dl) AS avgdl FROM sizes
+), idf AS (
+  SELECT token, ln(1 + (blk.N - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT DISTINCT token, df FROM tok2), blk
+), probe AS (
+  SELECT doc AS q, token FROM (
+    SELECT doc, token,
+           row_number() OVER (PARTITION BY doc ORDER BY df, token) AS rk
+    FROM tok2
+  ) WHERE rk = 1
+), cand AS (
+  SELECT DISTINCT p.q, t.doc AS d
+  FROM probe p JOIN tok2 t USING (token) WHERE p.q <> t.doc
+), shared AS (
+  SELECT c.q, c.d, tq.token FROM cand c
+  JOIN tok2 tq ON tq.doc = c.q
+  JOIN tok2 td ON td.doc = c.d AND td.token = tq.token
+), scored AS (
+  SELECT s.q, s.d,
+         round(sum(i.idf * 2.5 /
+                   (1.0 + 1.5 * (0.25 + 0.75 * z.dl / b.avgdl))), 9) AS score
+  FROM shared s
+  JOIN idf i USING (token)
+  JOIN sizes z ON z.doc = s.d
+  CROSS JOIN blk b
+  GROUP BY s.q, s.d
+), top1 AS (
+  SELECT q, d, score FROM (
+    SELECT q, d, score,
+           row_number() OVER (PARTITION BY q ORDER BY score DESC, d) AS rk
+    FROM scored
+  ) WHERE rk = 1 AND score > 1.0
+)
+SELECT CAST(least(q, d) AS BIGINT) AS a,
+       CAST(greatest(q, d) AS BIGINT) AS b,
+       max(score) AS score
+FROM top1 GROUP BY 1, 2
 """,
         "consolidate": """
 SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,

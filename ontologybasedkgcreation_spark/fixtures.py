@@ -54,7 +54,7 @@ STATES: List[Tuple[str, str | None]] = [
     ("State of Tamil Nadu", "State of T.N."),
 ]
 
-# The reference ships a 238-entry abbreviation dictionary
+# The reference ships a 616-row abbreviation file (505 parseable entries)
 # (/root/reference/Abbrevations, surfaced through the stub tool at
 # kg_creator/src/tools.py:1-7).  We keep our own small built-in dictionary for
 # hermetic tests; a full external dictionary can be loaded at runtime.

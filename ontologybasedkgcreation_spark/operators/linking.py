@@ -53,31 +53,45 @@ from ..fixtures import ABBREVIATIONS
 
 STOP_TOKENS = ("of", "the", "")
 
-# The reference ships a 238-entry legal-abbreviation table
+# The reference ships a 616-row legal-abbreviation file
 # (/root/reference/Abbrevations; surfaced through the stub tool at
 # kg_creator/src/tools.py:1-7).  When the file is present it becomes the
 # DEFAULT linking dictionary; the 5-entry built-in remains the hermetic
 # fallback (and the unit-test dictionary).
-REFERENCE_ABBREV_PATH = os.environ.get(
-    "ONTOKG_ABBREV_PATH", "/root/reference/Abbrevations"
-)
+DEFAULT_ABBREV_PATH = "/root/reference/Abbrevations"
 
-_DEFAULT_ABBREV: Optional[Dict[str, str]] = None
+_DEFAULT_ABBREV: Dict[str, Dict[str, str]] = {}
+
+
+def _abbrev_path() -> str:
+    # resolved at CALL time (not import time) so tests / deployments can
+    # repoint ONTOKG_ABBREV_PATH after the module is imported
+    return os.environ.get("ONTOKG_ABBREV_PATH", DEFAULT_ABBREV_PATH)
 
 
 def default_abbreviations() -> Dict[str, str]:
-    """Built-in dictionary widened by the reference's 238-entry file when it
-    exists (cached per process — executors load it once from local disk)."""
-    global _DEFAULT_ABBREV
-    if _DEFAULT_ABBREV is None:
+    """Built-in dictionary widened by the reference's abbreviation file when
+    it exists (cached per resolved path — executors load it once from local
+    disk).  Logs which dictionary was loaded, since node merging differs
+    between hosts with and without the file."""
+    path = _abbrev_path()
+    if path not in _DEFAULT_ABBREV:
+        import logging
+
         table = dict(ABBREVIATIONS)
-        if os.path.exists(REFERENCE_ABBREV_PATH):
+        source = f"built-in ({len(table)} entries)"
+        if os.path.exists(path):
             try:
-                table.update(load_abbreviations(REFERENCE_ABBREV_PATH))
+                loaded = load_abbreviations(path)
+                table.update(loaded)
+                source = f"{path} ({len(loaded)} entries + built-ins)"
             except OSError:
-                pass
-        _DEFAULT_ABBREV = table
-    return _DEFAULT_ABBREV
+                source += f" — {path} unreadable"
+        logging.getLogger(__name__).info(
+            "linking dictionary: %s -> %d total entries", source, len(table)
+        )
+        _DEFAULT_ABBREV[path] = table
+    return _DEFAULT_ABBREV[path]
 
 
 def _lower_table(table: Dict[str, str]) -> Dict[str, str]:
@@ -101,7 +115,7 @@ def normalize_identity(
 ) -> pd.Series:
     """Vectorized: lowercase, expand abbreviations, strip commas, collapse
     whitespace.  One alternation regex covers the whole dictionary in a
-    single pass, so the 243-entry default costs the same as the 5-entry
+    single pass, so the 508-entry default costs the same as the 5-entry
     test dictionary."""
     lower = _lower_table(table if table is not None else default_abbreviations())
     out = s.fillna("").str.lower().str.replace(",", " ", regex=False)
@@ -120,10 +134,14 @@ def normalize_identity_expr(col, abbrevs: Dict[str, str] | None = None):
     """JVM-side (whole-stage-codegen) equivalent of :func:`normalize_identity`
     — a chain of ``regexp_replace`` per abbreviation entry.  Right for SMALL
     dictionaries only (the expression tree grows per entry); use
-    :func:`normalize_identity_col` to auto-dispatch."""
+    :func:`normalize_identity_col` to auto-dispatch.  The default table is
+    the SAME as its siblings' (:func:`default_abbreviations`) — pass the
+    small test dictionary explicitly when you want the 5-entry built-in."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.regexp_replace(F.lower(c), ",", " ")
-    table = abbrevs if abbrevs is not None else _lower_table(ABBREVIATIONS)
+    table = (
+        abbrevs if abbrevs is not None else _lower_table(default_abbreviations())
+    )
     for k in sorted(table, key=len, reverse=True):
         out = F.regexp_replace(
             out, f"(?<![a-z0-9]){re.escape(k)}(?![a-z0-9])", table[k]
@@ -135,8 +153,8 @@ def normalize_identity_col(col, table: Optional[Dict[str, str]] = None):
     """Best-plan dispatch for identity normalization: a JVM
     ``regexp_replace`` chain (whole-stage codegen, never leaves the JVM)
     while the dictionary is small, a single-pass Arrow-vectorized pandas UDF
-    (one compiled alternation regex) once it is large — a 243-entry chain of
-    JVM regexps is 243 passes over every identity string, the Arrow UDF is
+    (one compiled alternation regex) once it is large — a 508-entry chain of
+    JVM regexps is 508 passes over every identity string, the Arrow UDF is
     one."""
     table = table if table is not None else default_abbreviations()
     if len(table) <= 50:
@@ -152,17 +170,26 @@ def normalize_identity_col(col, table: Optional[Dict[str, str]] = None):
 
 def find_abbreviation(abb: str, table: Dict[str, str] | None = None) -> str:
     """S5 parity: lookup mirroring the reference's stub tool
-    (kg_creator/src/tools.py:1-7) against the default dictionary (238-entry
-    reference file + built-ins when present)."""
+    (kg_creator/src/tools.py:1-7) against the default dictionary (505
+    entries parsed from the reference file + built-ins when present)."""
     table = table if table is not None else default_abbreviations()
     return table.get(abb, table.get(abb.upper(), abb))
 
 
+def _keylike_token(t: str) -> bool:
+    """Abbreviation-key heuristic for space-separated rows: dotted ('dt.',
+    'Bn.'), multi-uppercase ('LoB', 'MGNREGS'), or slashed ('SC/ST')."""
+    return t.endswith(".") or sum(c.isupper() for c in t) >= 2 or "/" in t
+
+
 def load_abbreviations(path: str) -> Dict[str, str]:
-    """Load an external abbreviation table.  Accepts the reference file's
-    formats — 'KEY - full form' (238 entries), 'KEY- full form',
-    'KEY<TAB>- full form' — plus tab / '=' / ':' separated lines; lines in
-    none of these shapes (prose glossary rows) are skipped."""
+    """Load an external abbreviation table.  Accepts every shape in the
+    reference's 616-row file — 'KEY - full form' / 'KEY- full form' /
+    'KEY<TAB>- full form' (432 rows), tab / '=' / ':' separated lines, and
+    plain space-separated 'KEY Expansion' rows (82 rows, e.g. 'dt. Date',
+    'LS Lok Sabha') where the key is the longest prefix of key-like tokens
+    (dotted / multi-uppercase / slashed — :func:`_keylike_token`).  Rows in
+    none of these shapes (1 prose glossary row) are skipped."""
     out: Dict[str, str] = {}
     with open(path, encoding="utf-8") as fh:
         for line in fh:
@@ -181,6 +208,15 @@ def load_abbreviations(path: str) -> Dict[str, str]:
                     k, v = line.split(sep, 1)
                     out[k.strip()] = v.strip()
                     break
+            else:
+                toks = line.split()
+                i = 0
+                while i < len(toks) and _keylike_token(toks[i]):
+                    i += 1
+                if i == len(toks) and len(toks) >= 2:
+                    i = 1  # every token key-like: back off to KEY + value
+                if 0 < i < len(toks):
+                    out[" ".join(toks[:i])] = " ".join(toks[i:])
     return out
 
 
@@ -332,6 +368,7 @@ def bm25_adopt_pairs(
     k1: float = 1.5,
     b: float = 0.75,
     threshold: float = 1.0,
+    quantize: Optional[int] = None,
 ) -> DataFrame:
     """R5 parity: the reference's BM25 linking stage as a DataFrame plan.
 
@@ -350,7 +387,12 @@ def bm25_adopt_pairs(
         idf(t) = ln(1 + (N-df+0.5)/(df+0.5))
 
     Returns the top-1 adopt pair per query node with score > ``threshold``:
-    (a, b) ordered keys, symmetric-closed for CC consumption."""
+    (a, b) ordered keys, symmetric-closed for CC consumption.  The adopt
+    score is direction-dependent, so a pair reachable from both sides keeps
+    its MAX score (deterministic).  ``quantize``: round scores to this many
+    decimals BEFORE ranking/thresholding — float sums are order-dependent
+    across engines, so the oracle-checked query pins 9 decimals (a ULP-level
+    difference must not flip a top-1 rank between engines)."""
     # per-block corpus stats: N, avgdl; per-doc length |d|
     sizes = tok.groupBy("labels_str", "pre_key").agg(
         F.count("*").alias("dl")
@@ -411,6 +453,8 @@ def bm25_adopt_pairs(
         .groupBy("labels_str", "q", "d")
         .agg(F.sum("term").alias("score"))
     )
+    if quantize is not None:
+        scored = scored.withColumn("score", F.round(F.col("score"), quantize))
     w_top = Window.partitionBy("q").orderBy(F.desc("score"), "d")
     return (
         scored.withColumn("_rk", F.row_number().over(w_top))
@@ -420,7 +464,8 @@ def bm25_adopt_pairs(
             F.greatest("q", "d").alias("b"),
             "score",
         )
-        .dropDuplicates(["a", "b"])
+        .groupBy("a", "b")
+        .agg(F.max("score").alias("score"))
     )
 
 
@@ -540,7 +585,7 @@ def tokenized_node_frame(
     return (
         with_identity
         # identity normalization: JVM regexp chain for small dictionaries,
-        # single-pass Arrow UDF for the 435-entry default (see
+        # single-pass Arrow UDF for the 508-entry default (see
         # normalize_identity_col)
         .withColumn("norm_identity", normalize_identity_col("identity", abbrevs))
         .withColumn(

@@ -80,15 +80,22 @@ def case_metadata_records(assigned: DataFrame) -> DataFrame:
     reference ``output_parser.py:22-31``), derived from the document's
     primary header triple (CourtCase-hasRulingOf->Court).  Cited prior
     cases also emit hasRulingOf triples but carry no hasCaseName; the
-    earliest fully-named header triple per url wins (deterministic)."""
+    earliest FULLY-NAMED header triple per url wins, and when a document's
+    extraction missed hasCaseName entirely the earliest hasRulingOf triple
+    is the fallback — the reference emits metadata per document
+    unconditionally (agent_utils.py:221-226), so no document may lose its
+    bookkeeping record to a grammar miss."""
     from pyspark.sql import Window
 
     hdr = assigned.filter(
         (F.col("relationship") == "hasRulingOf")
         & (F.col("node1_type") == "CourtCase")
-        & (F.coalesce(F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")) != "")
     )
-    w = Window.partitionBy("url").orderBy("span_start", "triple_id")
+    w = Window.partitionBy("url").orderBy(
+        (F.col("hasCaseName") != "").cast("int").desc(),
+        "span_start",
+        "triple_id",
+    )
     return (
         hdr.select(
             "url",

@@ -93,22 +93,28 @@ def run_pipeline(
 
 def primary_case_nodes(assigned: DataFrame, mapping: DataFrame) -> DataFrame:
     """(url, node_key) of each document's primary CourtCase — the subject of
-    the document's hasRulingOf triple (header), for hasParagraph edges."""
+    the document's hasRulingOf triple (header), for hasParagraph edges.
+
+    Cited prior cases also emit hasRulingOf but carry no hasCaseName, so
+    fully-named triples rank first; when extraction missed hasCaseName on
+    every header the earliest hasRulingOf triple is the fallback — a
+    grammar miss must not cost a document its whole hasParagraph /
+    CaseMetadata subgraph (the reference emits both unconditionally)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("url").orderBy("span_start", "triple_id")
+    named = (
+        F.coalesce(
+            F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")
+        )
+        != ""
+    ).cast("int")
+    w = Window.partitionBy("url").orderBy(
+        named.desc(), "span_start", "triple_id"
+    )
     primary = (
         assigned.filter(
             (F.col("relationship") == "hasRulingOf")
             & (F.col("node1_type") == "CourtCase")
-            # cited prior cases also emit hasRulingOf but carry no
-            # hasCaseName — only the document's own header triple does
-            & (
-                F.coalesce(
-                    F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")
-                )
-                != ""
-            )
         )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

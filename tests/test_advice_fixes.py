@@ -141,3 +141,41 @@ def test_degenerate_pages_flow_through(spark):
     assert texts["d1"] == "no pre block here"        # tag-strip fallback
     assert texts["d2"] == ""
     assert out["extracted"].count() == len(rows)     # duplicates pass through
+
+
+def test_case_metadata_fallback_unnamed_header(spark):
+    """A document whose extraction missed hasCaseName on every hasRulingOf
+    triple still emits its CaseMetadata record (earliest triple wins) —
+    the reference emits metadata per document unconditionally."""
+    from ontologybasedkgcreation_spark.operators import materialize
+
+    rows = [
+        # named header doc: named triple wins over an earlier unnamed decoy
+        ("u1", 0, "t0", "CourtCase", {"hasCaseID": "prior", "hasCaseName": ""},
+         "hasRulingOf", {"courtName": "X Court"}),
+        ("u1", 5, "t1", "CourtCase",
+         {"hasCaseID": "c1", "hasCaseName": "A v B"},
+         "hasRulingOf", {"courtName": "Y Court"}),
+        # unnamed-only doc: fallback to the earliest triple
+        ("u2", 7, "t2", "CourtCase", {"hasCaseID": "c2", "hasCaseName": ""},
+         "hasRulingOf", {"courtName": "Z Court"}),
+        ("u2", 9, "t3", "CourtCase", {"hasCaseID": "c3", "hasCaseName": ""},
+         "hasRulingOf", {"courtName": "W Court"}),
+    ]
+    assigned = spark.createDataFrame(
+        [
+            (url, span, tid, t1, p1, rel, p2)
+            for url, span, tid, t1, p1, rel, p2 in rows
+        ],
+        "url string, span_start long, triple_id string, node1_type string, "
+        "node1_props map<string,string>, relationship string, "
+        "node2_props map<string,string>",
+    )
+    recs = {
+        r["url"]: (r["hasCaseID"], r["hasCourtName"], r["hasCaseName"])
+        for r in materialize.case_metadata_records(assigned).collect()
+    }
+    assert recs == {
+        "u1": ("c1", "Y Court", "A v B"),
+        "u2": ("c2", "Z Court", ""),
+    }

@@ -72,7 +72,7 @@ def _court_nodes(graph):
 
 
 def test_abbrevations_file_alias_links(spark):
-    """S5: an alias only present in the reference's 238-entry file ('DHC' ->
+    """S5: an alias only present in the reference's abbreviation file ('DHC' ->
     'Delhi High Court') merges when the default dictionary is loaded."""
     case = {"hasCaseID": "Criminal Appeal No. 1 Of 2015", "hasCaseName": "A Versus B"}
     rows = [

@@ -77,6 +77,60 @@ def test_load_abbreviations(tmp_path):
     assert find_abbreviation("SC", t) == "Supreme Court"
 
 
+def test_load_abbreviations_space_separated(tmp_path):
+    """The reference file's plain 'KEY Expansion' rows: dotted / multi-
+    uppercase / slashed key prefix; all-key-like rows back off to one key
+    token; prose rows are skipped."""
+    p = tmp_path / "abbr.txt"
+    p.write_text(
+        "dt. Date\n"
+        "LS Lok Sabha\n"
+        "Loc. cit. loco citato (at the place quoted)\n"
+        "LS Bn. (I)/(II) Lok Sabha Bulletin Part I/II\n"
+        "Nom. Nominated/Nomination\n"
+        "Secretariat Rajya Sabha Secretariat\n"  # prose: no key-like prefix
+    )
+    t = load_abbreviations(str(p))
+    assert t == {
+        "dt.": "Date",
+        "LS": "Lok Sabha",
+        "Loc. cit.": "loco citato (at the place quoted)",
+        "LS Bn. (I)/(II)": "Lok Sabha Bulletin Part I/II",
+        "Nom.": "Nominated/Nomination",
+    }
+
+
+def test_reference_file_parse_count():
+    """505 of the reference file's 616 non-empty rows parse (the remainder
+    are duplicate keys within the file plus one prose glossary row), and the
+    previously-dropped space-separated aliases are now present."""
+    import os
+
+    if not os.path.exists("/root/reference/Abbrevations"):
+        import pytest
+
+        pytest.skip("reference file absent")
+    t = load_abbreviations("/root/reference/Abbrevations")
+    assert len(t) == 505
+    assert t["LS"] == "Lok Sabha" and t["MCI"] == "Medical Council of India"
+
+
+def test_abbrev_path_resolved_at_call_time(tmp_path, monkeypatch):
+    """ONTOKG_ABBREV_PATH repointed after import must take effect (and the
+    per-path cache must not leak between paths)."""
+    from ontologybasedkgcreation_spark.operators.linking import (
+        default_abbreviations,
+    )
+
+    p = tmp_path / "tiny.txt"
+    p.write_text("XYZQ - Xylophone Quartet\n")
+    monkeypatch.setenv("ONTOKG_ABBREV_PATH", str(p))
+    t = default_abbreviations()
+    assert t["XYZQ"] == "Xylophone Quartet"
+    monkeypatch.delenv("ONTOKG_ABBREV_PATH")
+    assert "XYZQ" not in default_abbreviations()
+
+
 def test_format_triples():
     s = format_triples(
         [
