@@ -142,13 +142,29 @@ def _page_spec(i: int) -> dict:
     with_cases = []
     for j in range(n_with):
         ap = PERSONS[(i + j + 1) % len(PERSONS)]
+        # every 6th page's first WITH block carries a plural appeal-number
+        # range ("NOS.x-y OF year") — the multi-appeal form of real benches
+        if j == 0 and i % 6 == 2:
+            base = case_no + 100
+            cid = f"CRIMINAL APPEAL NOS.{base}-{base + 2} OF {year}"
+        else:
+            cid = f"CRIMINAL APPEAL NO.{case_no + 100 * (j + 1)} OF {year}"
         with_cases.append(
             {
-                "case_id": f"CRIMINAL APPEAL NO.{case_no + 100 * (j + 1)} OF {year}",
+                "case_id": cid,
                 "appellant": ap,
                 "respondent": state_full,
             }
         )
+    # adversarial header variants drawn from the prompt's own example
+    # distribution (prompts.py:621-753): Diary-No case ids, lowercase
+    # "Versus", multi-judge benches ("…, JJ.")
+    diary = i % 13 == 5
+    case_id = (
+        f"DIARY NO.{case_no} OF {year}"
+        if diary
+        else f"CRIMINAL APPEAL NO.{case_no} OF {year}"
+    )
     sections = sorted(rng.sample(SECTIONS, 1 + (i % 3)))
     act = ACTS[i % len(ACTS)]
     place = PLACES[i % len(PLACES)]
@@ -156,8 +172,10 @@ def _page_spec(i: int) -> dict:
     return {
         "i": i,
         "url": f"https://judgments.example.org/sc/{year}/{case_no}.html",
-        "case_id": f"CRIMINAL APPEAL NO.{case_no} OF {year}",
+        "case_id": case_id,
         "case_name": f"{appellant[0]} {appellant[1]} Versus {state_full}",
+        "bench_judge": JUDGES[(i + 1) % len(JUDGES)] if i % 7 == 3 else None,
+        "lower_versus": i % 11 == 4,
         "appellant": appellant,
         "state_full": state_full,
         "state_abbrev": state_abbrev,
@@ -181,12 +199,13 @@ def _page_text(s: dict, target_chars: int = 4200) -> str:
     a_first, a_last = s["appellant"]
     j_init, j_last = s["judge"]
     w_first, w_last = s["witness"]
+    versus = "Versus" if s.get("lower_versus") else "VERSUS"
     lines = [
         "IN THE SUPREME COURT OF INDIA",
         "CRIMINAL APPELLATE JURISDICTION",
         s["case_id"],
         f"{a_first.upper()} {a_last.upper()} …APPELLANT",
-        "VERSUS",
+        versus,
         f"{s['state_full'].upper()} …RESPONDENT",
     ]
     if s["with_cases"]:
@@ -197,14 +216,22 @@ def _page_text(s: dict, target_chars: int = 4200) -> str:
                 [
                     wc["case_id"],
                     f"{wf.upper()} {wl.upper()} …APPELLANT",
-                    "VERSUS",
+                    versus,
                     f"{wc['respondent'].upper()} …RESPONDENT",
                 ]
             )
+    if s.get("bench_judge"):
+        b_init, b_last = s["bench_judge"]
+        judge_line = (
+            f"{j_init.upper()} {j_last.upper()}, "
+            f"{b_init.upper()} {b_last.upper()}, JJ."
+        )
+    else:
+        judge_line = f"{j_init.upper()} {j_last.upper()}, J."
     lines.extend(
         [
             "J U D G M E N T",
-            f"{j_init.upper()} {j_last.upper()}, J.",
+            judge_line,
             "",
         ]
     )
@@ -280,6 +307,18 @@ def expected_triples(s: dict) -> List[dict]:
         (respondent, "hasPartyType", ("State", {})),
         (cc, "hasJudge", judge),
         (judge, "worksIn", court),
+        *(
+            [
+                (cc, "hasJudge",
+                 ("Judge", canon_props({"COFirstName": s["bench_judge"][0],
+                                        "COLastName": s["bench_judge"][1]}))),
+                (("Judge", canon_props({"COFirstName": s["bench_judge"][0],
+                                        "COLastName": s["bench_judge"][1]})),
+                 "worksIn", court),
+            ]
+            if s.get("bench_judge")
+            else []
+        ),
         (
             cc,
             "hasFinalDecision",

@@ -58,16 +58,32 @@ _COURT_RE = re.compile(r"^IN THE ([A-Z][A-Z .]+)$", re.M)
 _JURIS_RE = re.compile(
     r"^(CRIMINAL|CIVIL) APPELLATE JURISDICTION$|^(ORIGINAL) JURISDICTION$", re.M
 )
-# tolerant of the ellipsis form ("…" vs "...") and mixed-case markers the
-# way real judgment headers vary (cf. the prompt example, prompts.py:624-638)
+# tolerant of the ellipsis form ("…" vs "..."), mixed-case markers
+# (lowercase "versus"), plural appeal numbers ("NOS.1116-1118 OF 2010")
+# and Diary-No case ids, the way real judgment headers vary
+# (cf. the prompt example, prompts.py:624-638)
 _CASE_BLOCK_RE = re.compile(
-    r"^((?:CRIMINAL|CIVIL) APPEAL NO\.\s?\d+ OF \d{4})\n"
+    r"^((?:(?:CRIMINAL|CIVIL) APPEAL NOS?\.\s?\d+(?:-\d+)? OF \d{4})"
+    r"|(?:DIARY NO\.\s?\d+ OF \d{4}))\n"
     r"(.+?) (?:…|\.{3})\s?APPELLANT\n"
     r"VERSUS\n"
     r"(.+?) (?:…|\.{3})\s?RESPONDENT$",
     re.M | re.I,
 )
 _JUDGE_LINE_RE = re.compile(r"^([A-Z]\.(?: [A-Z]\.)*) ([A-Z]+), J\.$", re.M)
+# multi-judge bench line: "R. BANUMATHI, A. DESHMUKH, JJ." — comma-separated
+# all-caps names, plural JJ. marker (prompt example distribution)
+_BENCH_LINE_RE = re.compile(r"^([A-Z][A-Z. ]*(?:, [A-Z][A-Z. ]*)+), JJ\.$", re.M)
+_JUDGE_NAME_RE = re.compile(r"^([A-Z]\.(?: [A-Z]\.)*) ([A-Z]+)$")
+
+
+def _fmt_judge(name: str) -> str:
+    """'A. DESHMUKH' -> 'A. Deshmukh' (initials kept verbatim, surname
+    title-cased — the single-judge line's formatting)."""
+    m = _JUDGE_NAME_RE.match(name.strip())
+    if m:
+        return f"{m.group(1)} {m.group(2).title()}"
+    return name.strip().title()
 
 # ---------------------------------------------------------------------------
 # Body grammar
@@ -166,18 +182,30 @@ def extract_from_text(text: str) -> List[Triple]:
                   "hasCaseName": f"{appellant} Versus {respondent}"})
             )
 
-    judge_m = _JUDGE_LINE_RE.search(header)
-    judge_name: Optional[str] = None
-    if judge_m:
-        judge_name = f"{judge_m.group(1)} {judge_m.group(2).title()}"
+    # judges: a multi-judge bench line ("…, JJ.") names every member; else
+    # the single-judge line ("X. SURNAME, J.")
+    judges: List[Tuple[int, str]] = []
+    bench_m = _BENCH_LINE_RE.search(header)
+    if bench_m:
+        judges = [
+            (bench_m.start(), _fmt_judge(n)) for n in bench_m.group(1).split(",")
+        ]
+    else:
+        judge_m = _JUDGE_LINE_RE.search(header)
+        if judge_m:
+            judges = [
+                (judge_m.start(),
+                 f"{judge_m.group(1)} {judge_m.group(2).title()}")
+            ]
+    for span, judge_name in judges:
         if primary:
             triples.append(
-                (judge_m.start(), "CourtCase", dict(primary), "hasJudge",
+                (span, "CourtCase", dict(primary), "hasJudge",
                  "Judge", _s(judge_name))
             )
         if court_name:
             triples.append(
-                (judge_m.start(), "Judge", _s(judge_name), "worksIn",
+                (span, "Judge", _s(judge_name), "worksIn",
                  "Court", _s(court_name))
             )
 
