@@ -373,6 +373,11 @@ class GraphWriter:
             self._bucketed(df, key)
             .repartition("bucket")
             .write.mode("overwrite")
+            # static: write() is a FULL table replace — stale buckets absent
+            # from df must be deleted.  Pinned per-write so the semantics
+            # cannot be flipped by a session-level dynamic-overwrite setting
+            # (a caller that ran a resume/merge earlier in the same session).
+            .option("partitionOverwriteMode", "static")
             .partitionBy("bucket")
             .parquet(path)
         )

@@ -55,7 +55,11 @@ class CheckpointedPipeline:
         self.base_path = base_path
         self.onto = onto or load_ontology()
         self.n_buckets = n_buckets
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # NOTE: dynamic partition overwrite is requested per-write
+        # (.option("partitionOverwriteMode", "dynamic") on each bucket-scoped
+        # write below) — never via session conf, which would silently turn
+        # every OTHER partitioned overwrite in the session (e.g.
+        # GraphWriter.write's full replace) into a partial one.
 
     # -- lineage ------------------------------------------------------------
 

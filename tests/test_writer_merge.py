@@ -141,3 +141,26 @@ def test_iceberg_write_contract():
     out = w.write("nodes", stub, key="node_key")
     assert out == "cat.db.nodes"
     assert stub.calls == [("writeTo", "cat.db.nodes"), ("createOrReplace",)]
+
+
+def test_write_full_replace_survives_dynamic_session_conf(spark, tmp_path):
+    """write() is a FULL table replace even when some earlier code in the
+    session (e.g. a resume/merge) left partitionOverwriteMode=dynamic in the
+    session conf.  Regression: the streaming reconcile's node rewrite left
+    the stale pre-merge bucket behind in suite order (resume tests ran
+    first), so a merged alias survived as a second node."""
+    w = GraphWriter(str(tmp_path), buckets=8)
+    b1 = [(f"u{i}", f"s{i}", "rel", f"d{i}") for i in range(20)]
+    p = w.write("edges", _edges(spark, b1), key="url")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # rewrite with a 2-row frame that cannot touch every stored bucket:
+        # all 6 other buckets must still be deleted
+        w.write("edges", _edges(spark, b1[:2]), key="url")
+        assert _rows(spark, p) == set(b1[:2])
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
