@@ -588,6 +588,72 @@ def q_media_bytes(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """The applyInPandasWithState online exact-dedup operator run END-TO-END
+    as a bounded stream (one availableNow micro-batch): documents plus a
+    synthetic re-crawl of every 7th doc (same text, later timestamp, new
+    url) enter the gate; only first occurrences come out, with the copy
+    count.  Single-batch execution makes n_in_batch deterministic, so the
+    whole stateful operator is value-checkable against plain SQL."""
+    import shutil
+    import tempfile
+
+    from ontologybasedkgcreation_spark.streaming import ingest, stateful
+
+    d = _doc(spark, sf_dir, "documents")
+
+    def as_pages(df, id_col):
+        return df.select(
+            F.concat(F.lit("doc://"), id_col.cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            .cast("timestamp")
+            .alias("_t0"),
+            id_col.alias("_id"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
+        ).select(
+            "url",
+            (F.col("_t0") + F.make_dt_interval(secs=F.col("_id"))).alias(
+                "warc_ts"
+            ),
+            "html",
+            "text",
+            "lang",
+        )
+
+    pages = as_pages(d, F.col("doc_id")).unionByName(
+        as_pages(
+            d.filter(F.col("doc_id") % 7 == 0),
+            F.col("doc_id") + F.lit(1_000_000),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = f"{base}/src"
+        out = f"{base}/out"
+        pages.coalesce(1).write.parquet(src)
+        stream = ingest.read_page_stream(
+            spark, src, max_files_per_trigger=1_000_000
+        )
+        q = (
+            stateful.streaming_dedup_exact(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        got = spark.read.parquet(out)
+        # materialize before the tmp dir disappears
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_fixed": q_chunk_fixed,
@@ -621,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
         "media_bytes": q_media_bytes,
+        "stream_dedup": q_stream_dedup,
     }
 
 
@@ -1058,5 +1125,30 @@ SELECT CAST(a.doc AS BIGINT) AS a, CAST(b.doc AS BIGINT) AS b,
        CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc < b.doc
 WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+        # stream_dedup: the stateful streaming operator's single-batch run
+        # is first-occurrence-per-content + copy count — plain SQL.  The
+        # synthetic re-crawl (every 7th doc, id+1e6, later ts) is replicated
+        # here so real duplicate groups exist at every sf.
+        "stream_dedup": """
+WITH all_p AS (
+  SELECT doc_id AS id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text, lang FROM documents
+  WHERE doc_id % 7 = 0
+), p AS (
+  SELECT sha256(COALESCE(text, '')) AS content_key,
+         'doc://' || CAST(id AS VARCHAR) AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + to_seconds(id) AS warc_ts,
+         text, lang, id
+  FROM all_p
+)
+SELECT content_key,
+       arg_min(url, id) AS url,
+       min(warc_ts) AS warc_ts,
+       arg_min(text, id) AS text,
+       arg_min(lang, id) AS lang,
+       CAST(count(*) AS BIGINT) AS n_in_batch
+FROM p GROUP BY content_key
 """,
     }

@@ -37,7 +37,16 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE default on (runtime broadcast conversion + skew splitting pay
+        # off whenever per-stage data is non-trivial).  Overridable because
+        # AQE materializes every shuffle stage as its own job, and in
+        # multi-process masters with SMALL per-stage data (the local-cluster
+        # scaling legs: 85 jobs vs 8) that job latency dominates — measured
+        # 2.3x on the full pipeline at 30k pages (BENCH/BASELINE.md).
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,168 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+The reference's closest analog is its Celery task queue re-processing the
+same url idempotently (kg_creator/src/tasks.py:21-44); a streaming corpus
+needs the stronger primitive: ONLINE exact deduplication — of the pages
+arriving continuously, pass through only the first occurrence of each
+distinct content, across micro-batches and across restarts.
+
+Spark-first design:
+
+- The dedup key is the sha256 of the page text (the same content-hash
+  discipline as the batch ``operators/dedup.py``), computed JVM-side so the
+  stream stays whole-stage-codegen until the stateful exchange.
+- State lives in the per-key state store (``applyInPandasWithState``): one
+  tiny record ``(n_seen, first_ts)`` per distinct content hash, sharded by
+  the groupBy exchange across executors — at 100 TB the state is
+  #distinct-contents x ~50 bytes, spread over the cluster, NOT a
+  driver-side set.
+- Late/stale state is bounded: with ``ttl`` set, keys idle longer than the
+  TTL past the event-time watermark are dropped (``EventTimeTimeout``) —
+  the standard state-size bound for unbounded streams.  Content seen again
+  after its key expired re-emits: a TTL'd dedup trades exactness for
+  bounded state, which is the documented production contract.
+- Output is append-mode (emitted rows are final): each first-seen page row
+  is emitted exactly once, checkpointed with the state store, so replays
+  and restarts do not re-emit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# first-seen page rows passed through the dedup gate
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("content_key", StringType()),
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        # how many copies of this content the emitting micro-batch carried
+        # (>=1; duplicates arriving in LATER batches are absorbed silently
+        # into the state counter)
+        StructField("n_in_batch", LongType()),
+    ]
+)
+
+# per-key state: (total copies seen, first-seen event time as epoch micros)
+DEDUP_STATE_SCHEMA = StructType(
+    [StructField("n_seen", LongType()), StructField("first_ts_us", LongType())]
+)
+
+_US = 1_000_000
+
+
+def _dedup_fn(
+    key: Tuple[Any, ...],
+    pdf_iter: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle past watermark+TTL: drop the key's state, emit nothing
+        state.remove()
+        return
+    batches = [pdf for pdf in pdf_iter]
+    n_batch = int(sum(len(p) for p in batches))
+    if n_batch == 0:
+        return
+    pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+    # deterministic representative: earliest (warc_ts, url) in the batch
+    pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+    first = pdf.iloc[0]
+    first_ts = first["warc_ts"]
+    first_ts_us = int(pd.Timestamp(first_ts).value // 1_000)
+    if state.exists:
+        n_seen, kept_ts_us = state.get
+        state.update((int(n_seen) + n_batch, int(kept_ts_us)))
+        emit = None  # content already passed through in an earlier batch
+    else:
+        state.update((n_batch, first_ts_us))
+        emit = pd.DataFrame(
+            {
+                "content_key": [key[0]],
+                "url": [first["url"]],
+                "warc_ts": [first_ts],
+                "text": [first["text"]],
+                "lang": [first["lang"]],
+                "n_in_batch": [n_batch],
+            }
+        )
+    # EventTimeTimeout mode: re-arm the key's TTL relative to the watermark
+    # (the TTL itself rode in on a per-row column so the closure stays
+    # picklable and configuration-free; 0 = NoTimeout mode, never touch the
+    # timeout API)
+    ttl_us = int(pdf["_ttl_us"].iloc[0])
+    if ttl_us > 0:
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), first_ts_us // 1_000)
+            + ttl_us // 1_000
+        )
+    if emit is not None:
+        yield emit
+
+
+def streaming_dedup_exact(
+    pages_stream: DataFrame,
+    ttl: Optional[str] = None,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Online exact-dedup over a page stream: emit each distinct text ONCE
+    (first occurrence wins; ties broken by (warc_ts, url)), across
+    micro-batches, exactly once across restarts.
+
+    ``ttl`` (e.g. ``"2 hours"``): per-key state lifetime past the event-time
+    watermark; ``None`` keeps state forever (exact dedup, unbounded state —
+    fine for bounded replays, not for an always-on stream).
+    """
+    ttl_us = 0
+    if ttl is not None:
+        n, unit = ttl.split()
+        ttl_us = int(n) * {
+            "second": _US,
+            "seconds": _US,
+            "minute": 60 * _US,
+            "minutes": 60 * _US,
+            "hour": 3600 * _US,
+            "hours": 3600 * _US,
+        }[unit]
+    keyed = pages_stream.select(
+        F.sha2(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"), 256).alias(
+            "content_key"
+        ),
+        "url",
+        "warc_ts",
+        "text",
+        "lang",
+        F.lit(ttl_us).alias("_ttl_us"),
+    )
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    if ttl is not None:
+        keyed = keyed.withWatermark("warc_ts", watermark_delay)
+    # operator output mode "append": every emitted row is FINAL (a content
+    # key's first occurrence is emitted once and never revised), which is
+    # what lets the query run with an append-mode file sink
+    return keyed.groupBy("content_key").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,120 @@
+"""applyInPandasWithState online exact-dedup: each distinct text passes the
+gate once — within a batch, across micro-batches, and across query restarts
+(state rides the checkpoint)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ontologybasedkgcreation_spark.streaming import ingest, stateful
+
+TS0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _pages(spark, rows):
+    """rows: [(url, minutes_offset, text, lang)]"""
+    return spark.createDataFrame(
+        [
+            (u, TS0 + datetime.timedelta(minutes=m), None, t, lang)
+            for (u, m, t, lang) in rows
+        ],
+        ingest.PAGES_SCHEMA_DDL,
+    )
+
+
+def _run(spark, src, out, ckpt, ttl=None):
+    stream = ingest.read_page_stream(spark, src, max_files_per_trigger=4)
+    deduped = stateful.streaming_dedup_exact(stream, ttl=ttl)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def _emitted(spark, out):
+    return {
+        (r["url"], r["text"], r["n_in_batch"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+
+def test_dedup_within_and_across_batches(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: "alpha" twice (earliest url wins), "beta" once
+    _pages(
+        spark,
+        [
+            ("u2", 5, "alpha text", "en"),
+            ("u1", 1, "alpha text", "en"),
+            ("u3", 2, "beta text", "en"),
+        ],
+    ).write.parquet(src)
+    _run(spark, src, out, ckpt)
+    assert _emitted(spark, out) == {
+        ("u1", "alpha text", 2),
+        ("u3", "beta text", 1),
+    }
+
+    # batch 2 (same checkpoint -> state survives the restart): a re-crawl of
+    # "alpha" is absorbed silently; "gamma" is new
+    _pages(
+        spark,
+        [
+            ("u4", 10, "alpha text", "en"),
+            ("u5", 11, "gamma text", "hi"),
+        ],
+    ).write.mode("append").parquet(src)
+    _run(spark, src, out, ckpt)
+    assert _emitted(spark, out) == {
+        ("u1", "alpha text", 2),
+        ("u3", "beta text", 1),
+        ("u5", "gamma text", 1),
+    }
+
+    # replay with no new files: exactly-once, nothing re-emitted
+    _run(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_dedup_ttl_mode_runs_with_watermark(spark, tmp_path):
+    """TTL mode wires EventTimeTimeout + watermark; the first batch must
+    still dedup (timeout expiry needs watermark movement across batches,
+    which the bounded availableNow replay only exercises for liveness)."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _pages(
+        spark,
+        [
+            ("u1", 1, "alpha text", "en"),
+            ("u2", 500, "alpha text", "en"),
+            ("u3", 500, "beta text", "en"),
+        ],
+    ).write.parquet(src)
+    _run(spark, src, out, ckpt, ttl="1 hour")
+    got = _emitted(spark, out)
+    assert {(u, t) for (u, t, _) in got} == {
+        ("u1", "alpha text"),
+        ("u3", "beta text"),
+    }
+
+
+def test_dedup_null_text_is_a_key(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _pages(
+        spark,
+        [("u1", 1, None, "en"), ("u2", 2, None, "en"), ("u3", 3, "x", "en")],
+    ).write.parquet(src)
+    _run(spark, src, out, ckpt)
+    got = _emitted(spark, out)
+    assert ("u1", None, 2) in got and ("u3", "x", 1) in got and len(got) == 2
