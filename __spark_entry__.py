@@ -297,6 +297,22 @@ def q_minhash_lsh(spark, sf_dir):
     ).select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
 
 
+def q_dedup_resolve(spark, sf_dir):
+    """Near-dup GROUP RESOLUTION — the step after candidate generation:
+    connected components over the MinHash-LSH pair graph, then one kept
+    representative per group (longest text, ties smallest id).  Every doc
+    gets a (keep_id, group_size) row; singletons never enter the CC or the
+    window (left-anti pass-through), so at 100 TB the stateful work is
+    bounded by the duplicate population, not the corpus."""
+    d = _doc(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", n=3, bands=4, rows_per_band=4)
+    return dedup.resolve_duplicates(d, "doc_id", "text", pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     sig = dedup.simhash(d, "doc_id", "text")
@@ -673,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_lsh": q_dedup_jaccard_lsh,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_resolve": q_dedup_resolve,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "embedding_ivf": q_embedding_ivf,
@@ -951,6 +968,44 @@ WHERE shared * 1.0 / (sa.nsh + sb.nsh - shared) >= 0.8
 SELECT DISTINCT CAST(a.doc AS BIGINT) AS a, CAST(b.doc AS BIGINT) AS b
 FROM banded a JOIN banded b USING (band, band_sig)
 WHERE a.doc < b.doc
+""",
+        # dedup_resolve: recursive-CTE transitive closure over the SAME
+        # MinHash-LSH pair graph (tiny at oracle scale), then the identical
+        # longest-text-wins window; singletons appended by anti-membership
+        "dedup_resolve": _SHINGLE_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)
+        + """
+, sig AS (
+  SELECT doc, seed, min(md5(concat_ws('#', shingle, seed))) AS minhash
+  FROM sh, LATERAL (SELECT unnest(generate_series(0, 15)) AS seed)
+  GROUP BY doc, seed
+), banded AS (
+  SELECT doc, seed // 4 AS band,
+         string_agg(minhash, '|' ORDER BY minhash) AS band_sig
+  FROM sig GROUP BY doc, seed // 4
+), pairs AS (
+  SELECT DISTINCT CAST(a.doc AS BIGINT) AS a, CAST(b.doc AS BIGINT) AS b
+  FROM banded a JOIN banded b USING (band, band_sig)
+  WHERE a.doc < b.doc
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+), walk(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u AND e.v <> w.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS comp FROM walk GROUP BY u
+), grouped AS (
+  SELECT d.doc_id, c.comp, length(d.text) AS len
+  FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id,
+       first_value(doc_id)
+         OVER (PARTITION BY comp ORDER BY len DESC, doc_id) AS keep_id,
+       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS group_size
+FROM grouped
+UNION ALL
+SELECT doc_id, doc_id AS keep_id, CAST(1 AS BIGINT) AS group_size
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)
 """,
         "embedding_topk": """
 SELECT CAST(vec_id AS BIGINT) AS vec_id,

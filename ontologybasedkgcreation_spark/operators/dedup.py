@@ -298,3 +298,59 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     ).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-group resolution
+# ---------------------------------------------------------------------------
+
+
+def resolve_duplicates(
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame
+) -> DataFrame:
+    """Candidate near-dup ``pairs`` (a, b) -> one KEPT representative per
+    duplicate group: connected components over the pair graph, then within
+    each group keep the longest text (ties: smallest id) — the "most
+    complete copy wins" retention policy a training pipeline applies after
+    any of the pair generators above.
+
+    Returns (id, keep_id, group_size) for EVERY row of ``df``; singletons
+    keep themselves.  Scale shape: the window runs only over docs that
+    appear in a pair (a tiny fraction of the corpus — group membership
+    comes from :func:`linking.connected_components`, pointer-doubling,
+    one action per round); the singleton majority is a broadcast-anti-join
+    pass-through that never shuffles on a key.
+    """
+    from .linking import connected_components
+
+    p = pairs.select(
+        F.col("a").cast("string").alias("a"), F.col("b").cast("string").alias("b")
+    )
+    comp = connected_components(p)  # (pre_key, comp) over pair endpoints
+    ranked = (
+        df.select(
+            F.col(id_col),
+            F.col(id_col).cast("string").alias("pre_key"),
+            F.length(text_col).alias("_len"),
+        )
+        .join(comp, "pre_key")
+        .drop("pre_key")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comp").orderBy(F.desc("_len"), F.col(id_col))
+    grouped = ranked.select(
+        id_col,
+        F.first(id_col).over(w).alias("keep_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("comp"))
+        .alias("group_size"),
+    )
+    singletons = df.select(id_col).join(
+        grouped.select(id_col), id_col, "left_anti"
+    ).select(
+        id_col,
+        F.col(id_col).alias("keep_id"),
+        F.lit(1).cast("long").alias("group_size"),
+    )
+    return grouped.unionByName(singletons)

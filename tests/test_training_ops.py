@@ -221,3 +221,36 @@ def test_kmeans_fit_and_assign(spark):
     qlab = labeled.filter(F.col("vec_id") == 1).first()["label"]
     top = similarity.ivf_topk(labeled, q, qlab, k=5, exclude_id=1).collect()
     assert 0 < len(top) <= 5
+
+
+def test_resolve_duplicates_groups_and_policy(spark):
+    """CC over the pair graph + longest-text-wins: a transitive 3-chain
+    resolves to ONE representative; ties break to the smallest id;
+    singletons pass through with group_size 1."""
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the longest text of the chain"),
+            (3, "middle length text"),
+            (10, "tie"),
+            (11, "pie"),
+            (20, "alone entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    # 1-2, 2-3 chain (transitive); 10-11 same length (tie)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {
+        (r["doc_id"], r["keep_id"], r["group_size"])
+        for r in dedup.resolve_duplicates(docs, "doc_id", "text", pairs).collect()
+    }
+    assert got == {
+        (1, 2, 3),
+        (2, 2, 3),
+        (3, 2, 3),
+        (10, 10, 2),
+        (11, 10, 2),
+        (20, 20, 1),
+    }
