@@ -1,14 +1,21 @@
 """Two-cluster-size scaling evidence (BASELINE.json north rule).
 
 Runs the identical KG-pipeline job on the identical input at two parallelism
-levels — local[N] and local[4N] as the in-sandbox stand-in for N vs 4N
-executors — and reports pages/sec at both plus scaling efficiency
-(eff = throughput_4N / (4 x throughput_N) x 4 ... i.e. speedup/4).
+levels and reports pages/sec at both plus scaling efficiency
+(eff = speedup / 4).  Two modes:
+
+- thread mode (default): local[N] vs local[4N] — task slots in ONE JVM,
+  the cheap stand-in for executor count.
+- cluster mode (--cluster): local-cluster[1,C,mem] vs local-cluster[4,C,mem]
+  — SEPARATE executor JVMs (Spark's standalone-style test master), the
+  honest in-sandbox analog of 1 vs 4 executors: per-executor heaps, Arrow
+  Python workers, and shuffle traffic between processes.
 
 Each level runs in its own subprocess so the JVM/session is cold-started
 identically.  Results are appended to BENCH/BASELINE.md.
 
-Usage: python3 scripts/scaling_bench.py [n_pages] [N]
+Usage: python3 scripts/scaling_bench.py [n_pages] [N] [page_chars] [--cluster]
+  (cluster mode: N = cores PER EXECUTOR; legs are 1 vs 4 executors)
 """
 
 from __future__ import annotations
@@ -26,11 +33,34 @@ sys.path.insert(0, {repo!r})
 from ontologybasedkgcreation_spark.session import get_spark
 from ontologybasedkgcreation_spark import fixtures, pipeline
 
-cores = int(sys.argv[1]); n_pages = int(sys.argv[2])
+master = sys.argv[1]; n_pages = int(sys.argv[2])
 # partitioning is FIXED across legs: the only variable is task slots
 # (the in-sandbox analog of executor count); per-stage scheduling cost
 # then stays constant and the measurement isolates compute scaling
-spark = get_spark('scaling', master=f'local[{{cores}}]', shuffle_partitions=16)
+extra = {{
+    # executor JVMs (cluster mode) need the repo importable
+    # inside their Arrow Python workers
+    "spark.executorEnv.PYTHONPATH": {repo!r},
+    # per-executor heap: FIXED across legs (scaling out means more
+    # executors of the same size); must hold this leg's share of the
+    # cached input + Arrow batches
+    "spark.executor.memory": "24g",
+    "spark.driver.memory": "8g",
+}}
+if master.startswith("local-cluster"):
+    # Multi-process masters, identically on BOTH legs (see
+    # BENCH/BASELINE.md "multi-JVM" section):
+    # - locality wait off: on a loopback "cluster" any-locality
+    #   scheduling is free; the default 3s wait serializes small stages.
+    # - AQE off: AQE materializes every shuffle stage as its own job
+    #   (85 jobs vs 8 on this pipeline) and in separate-JVM mode that
+    #   job latency dominates at sandbox data sizes — measured 2.3x at
+    #   30k pages.  At real-cluster data volumes per stage the tradeoff
+    #   reverses, which is why the engine default keeps AQE on.
+    extra["spark.locality.wait"] = "0s"
+    extra["spark.sql.adaptive.enabled"] = "false"
+spark = get_spark('scaling', master=master, shuffle_partitions=16,
+                  extra_conf=extra)
 spark.sparkContext.setLogLevel('ERROR')
 target_chars = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
 pages = fixtures.pages_df_distributed(spark, n_pages, partitions=32,
@@ -40,34 +70,46 @@ t0 = time.time()
 out = pipeline.run_pipeline(spark, pages, with_paragraphs=True)
 edges = out['edges'].count(); nodes = out['nodes'].count()
 dt = time.time() - t0
-print(json.dumps({{"cores": cores, "pages": n, "sec": round(dt, 2),
+print(json.dumps({{"master": master, "pages": n, "sec": round(dt, 2),
                    "pages_per_sec": round(n / dt, 2),
-                   "nodes": nodes, "edges": edges}}))
+                   "nodes": nodes, "edges": edges}}), flush=True)
+spark.stop()  # local-cluster: avoid noisy executor-relaunch shutdown
 """
 
 
-def run_level(cores: int, n_pages: int, target_chars: int = 20000) -> dict:
+def run_level(master: str, n_pages: int, target_chars: int = 20000) -> dict:
     script = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), str(n_pages), str(target_chars)],
+        [sys.executable, "-c", script, master, str(n_pages), str(target_chars)],
         capture_output=True, text=True, timeout=3600,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"child produced no result for {master}")
+    return json.loads(lines[-1])
 
 
 def main() -> int:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    target_chars = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
-    lo = run_level(n, n_pages, target_chars)
+    args = [a for a in sys.argv[1:] if a != "--cluster"]
+    cluster = "--cluster" in sys.argv[1:]
+    n_pages = int(args[0]) if len(args) > 0 else 2000
+    n = int(args[1]) if len(args) > 1 else (2 if cluster else 8)
+    target_chars = int(args[2]) if len(args) > 2 else 20000
+    if cluster:
+        lo_master = f"local-cluster[1,{n},16384]"
+        hi_master = f"local-cluster[4,{n},16384]"
+    else:
+        lo_master, hi_master = f"local[{n}]", f"local[{4 * n}]"
+    lo = run_level(lo_master, n_pages, target_chars)
     print(json.dumps(lo))
-    hi = run_level(4 * n, n_pages, target_chars)
+    hi = run_level(hi_master, n_pages, target_chars)
     print(json.dumps(hi))
     speedup = hi["pages_per_sec"] / lo["pages_per_sec"]
     eff = speedup / 4.0
     summary = {
-        "n_cores": n, "4n_cores": 4 * n, "pages": n_pages, "page_chars": target_chars,
+        "n_leg": lo_master, "4n_leg": hi_master,
+        "pages": n_pages, "page_chars": target_chars,
         "throughput_n": lo["pages_per_sec"],
         "throughput_4n": hi["pages_per_sec"],
         "speedup": round(speedup, 3),
@@ -84,12 +126,12 @@ def main() -> int:
                 "# BENCH baseline — measured numbers for this engine\n\n"
                 "## Scaling evidence (same job, same input, two parallelism "
                 "levels — the in-sandbox stand-in for N vs 4N executors)\n\n"
-                "| pages | local[N] | pages/s @N | local[4N] | pages/s @4N | "
+                "| pages | N leg | pages/s @N | 4N leg | pages/s @4N | "
                 "speedup | efficiency |\n|---|---|---|---|---|---|---|\n"
             )
         fh.write(
-            f"| {n_pages} | local[{n}] | {lo['pages_per_sec']} | "
-            f"local[{4*n}] | {hi['pages_per_sec']} | {summary['speedup']} | "
+            f"| {n_pages} | {lo_master} | {lo['pages_per_sec']} | "
+            f"{hi_master} | {hi['pages_per_sec']} | {summary['speedup']} | "
             f"{summary['scaling_efficiency']} |\n"
         )
     return 0
