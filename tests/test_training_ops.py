@@ -254,3 +254,19 @@ def test_resolve_duplicates_groups_and_policy(spark):
         (11, 10, 2),
         (20, 20, 1),
     }
+
+
+def test_srp_signature_arrow_matches_jvm_spec(spark):
+    """The Arrow-batched SRP signature (hot path) must agree BIT-FOR-BIT
+    with the JVM fold-expression spec (srp_band_cols) — same md5-derived
+    ±1 matrix, same sequential accumulation order."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spec = emb.select(
+        F.col("vec_id").alias("id"),
+        *similarity.srp_band_cols("embedding", 64, 8, 64),
+    )
+    arrow = similarity.srp_signature(emb, "vec_id", "embedding", "label")
+    cols = ["id"] + [f"band{b}" for b in range(8)]
+    assert {tuple(r) for r in spec.select(cols).collect()} == {
+        tuple(r) for r in arrow.select(cols).collect()
+    }
