@@ -322,9 +322,40 @@ def parse_triples_json(df: DataFrame, json_col: str = "response") -> DataFrame:
     )
 
 
+def anchor_gate_condition():
+    """JVM-side predicate pushdown for the Python extraction stage: a page
+    can produce a triple ONLY if its text contains one of these literal
+    anchors (each grammar rule embeds at least one — 'APPELLANT' for the
+    header case blocks (case-insensitive there), 'JURISDICTION' for the
+    jurisdiction line, ', J' for the judge/bench lines, and the body
+    rules' fixed phrases; rules that additionally require a primary case
+    or court name are gated by their own anchors, so OR is conservative).
+    Pages failing every anchor are dropped at codegen speed and never
+    cross the Arrow boundary — on a web corpus where most pages are not
+    judgments, the Python stage's input shrinks to the relevant fraction.
+    Completeness is pinned by the P/R gate + golden survivorship tests
+    (any rule added without an anchor here would surface as lost recall)."""
+    from pyspark.sql import functions as SF
+
+    t = SF.col("text")
+    lt = SF.lower(t)
+    return (
+        lt.contains("appellant")
+        | t.contains("JURISDICTION")
+        | t.contains(", J")
+        | t.contains("submitted that")
+        | t.contains("observed that")
+        | t.contains("judgment was delivered")
+    )
+
+
 def extract_triples(extracted_pages: DataFrame) -> DataFrame:
     """(url, text, lang) -> raw triple rows, Arrow-batched.  Non-English pages
-    produce no triples (they flow through the pages table untouched)."""
+    produce no triples (they flow through the pages table untouched).
+
+    Two JVM-side gates run before the Arrow stage (cheap codegen'd scans,
+    semantically no-ops): the ``lang == 'en'`` filter (also applied inside
+    the UDF for direct callers) and :func:`anchor_gate_condition`."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -351,7 +382,12 @@ def extract_triples(extracted_pages: DataFrame) -> DataFrame:
                 ],
             )
 
+    from pyspark.sql import functions as SF
+
     cols = [c for c in ("url", "text", "lang") if c in extracted_pages.columns]
-    return extracted_pages.select(*cols).mapInPandas(
-        _extract, schema=RAW_TRIPLES_SCHEMA
+    gated = extracted_pages.select(*cols).filter(
+        anchor_gate_condition() & SF.col("text").isNotNull()
     )
+    if "lang" in cols:
+        gated = gated.filter(SF.col("lang") == "en")
+    return gated.mapInPandas(_extract, schema=RAW_TRIPLES_SCHEMA)

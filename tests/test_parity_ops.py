@@ -160,3 +160,44 @@ def test_node_feature_vectors(spark):
     assert f["k1"] != f["k3"]
     norm = sum(x * x for x in f["k1"]) ** 0.5
     assert abs(norm - 1.0) < 1e-5      # L2-normalized
+
+
+def test_anchor_gate_is_conservative(spark):
+    """The JVM anchor prefilter must never drop a triple-producing page:
+    every fixture page (all of which produce triples) passes the gate, and
+    anchor-free pages produce zero triples with or without the gate —
+    extract_triples output is identical to running the raw grammar on
+    every row."""
+    from ontologybasedkgcreation_spark import fixtures
+    from ontologybasedkgcreation_spark.operators import extract as ex
+
+    pages, _ = fixtures.pages_df(spark, 8)
+    noise = spark.createDataFrame(
+        [
+            (f"https://x.org/{i}", None, None,
+             f"plain web text number {i} with nothing legal inside", "en")
+            for i in range(5)
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    both = pages.select("url", "text", "lang").unionByName(
+        noise.select("url", "text", "lang")
+    )
+    gated = ex.extract_triples(both)
+    # reference behavior: the python grammar over every english row, no gate
+    expected = []
+    for r in both.collect():
+        if r["lang"] != "en":
+            continue
+        for (span, t1, v1, rel, t2, v2) in ex.extract_from_text(r["text"] or ""):
+            expected.append((r["url"], span, t1, rel, t2))
+    got = [
+        (r["url"], r["span_start"], r["node1_type"], r["relationship"],
+         r["node2_type"])
+        for r in gated.collect()
+    ]
+    assert sorted(got) == sorted(expected)
+    assert len(got) > 0
+    # and the gate really removes the noise rows before Python
+    kept = both.filter(ex.anchor_gate_condition()).count()
+    assert kept == pages.count()
