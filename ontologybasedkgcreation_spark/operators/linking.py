@@ -576,6 +576,60 @@ def refine_pairs(
     )
 
 
+def refine_pairs_semantic(
+    linkable: DataFrame,
+    embedder,
+    threshold: float = 0.75,
+    bits: int = 64,
+    band_bits: int = 8,
+) -> DataFrame:
+    """The reference-SHAPED refine pass with a pluggable embedding model
+    (``refine_nodes.py:27-96``: real-model ANN kNN + gate): embed each
+    node's normalized identity, generate candidates with the SRP-LSH band
+    join (the engine's ANN primitive — blocked by label set, exactly the
+    reference's labels-equal merge guard, utils.py:681-688), accept at
+    exact cosine >= ``threshold``, with the same two deterministic gate
+    stand-ins as :func:`refine_pairs` (CourtCase never fuzzy-merges;
+    differing numeral tokens never merge).
+
+    ``embedder``: ``df(pre_key, norm_identity) -> df(pre_key, embedding
+    array<float/double>)`` — typically a Pandas-UDF stage calling a real
+    sentence encoder; :func:`similarity.hashing_feature_vectors` is the
+    deterministic in-repo instance (used by the parity test).  This is the
+    operator that closes the semantic-alias gap ("Apex Court" ==
+    "Supreme Court of India") as soon as a model that knows it is plugged
+    in — the dataflow, guards, and scale shape are model-independent."""
+    from .similarity import cosine_neardup_pairs_lsh
+
+    base = linkable.filter(F.col("head_label") != "CourtCase").select(
+        "labels_str",
+        "pre_key",
+        "norm_identity",
+        F.sort_array(
+            F.filter(F.col("tokens"), lambda t: t.rlike("[0-9]"))
+        ).alias("num_toks"),
+    )
+    emb = embedder(base.select("pre_key", "norm_identity"))
+    joined = base.select("labels_str", "pre_key").join(emb, "pre_key")
+    pairs = cosine_neardup_pairs_lsh(
+        joined,
+        threshold=threshold,
+        id_col="pre_key",
+        vec_col=emb.columns[-1],
+        block_col="labels_str",
+        bits=bits,
+        band_bits=band_bits,
+    )
+    na = base.select(F.col("pre_key").alias("a"), F.col("num_toks").alias("na"))
+    nb = base.select(F.col("pre_key").alias("b"), F.col("num_toks").alias("nb"))
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
+        .filter(F.col("na") == F.col("nb"))
+        .select("a", "b")
+    )
+
+
 def tokenized_node_frame(
     with_identity: DataFrame, abbrevs: Optional[Dict[str, str]] = None
 ) -> DataFrame:
