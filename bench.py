@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "embedding_neardup_lsh",
     "ivf_assign",
+    "dedup_resolve",
+    "stream_dedup",
     "lang_id",
     "token_stats",
 ]
