@@ -37,17 +37,16 @@ master = sys.argv[1]; n_pages = int(sys.argv[2])
 # partitioning is FIXED across legs: the only variable is task slots
 # (the in-sandbox analog of executor count); per-stage scheduling cost
 # then stays constant and the measurement isolates compute scaling
-extra = {{
-    # executor JVMs (cluster mode) need the repo importable
-    # inside their Arrow Python workers
-    "spark.executorEnv.PYTHONPATH": {repo!r},
-    # per-executor heap: FIXED across legs (scaling out means more
-    # executors of the same size); must hold this leg's share of the
-    # cached input + Arrow batches
-    "spark.executor.memory": "24g",
-    "spark.driver.memory": "8g",
-}}
+extra = {{}}
 if master.startswith("local-cluster"):
+    # executor JVMs need the repo importable inside their Arrow Python
+    # workers; per-executor heap is FIXED across legs (scaling out means
+    # more executors of the same size) and must hold this leg's share of
+    # the cached input + Arrow batches.  In thread mode none of this
+    # applies — the driver IS the executor and keeps get_spark's 32g.
+    extra["spark.executorEnv.PYTHONPATH"] = {repo!r}
+    extra["spark.executor.memory"] = "24g"
+    extra["spark.driver.memory"] = "8g"
     # Multi-process masters, identically on BOTH legs (see
     # BENCH/BASELINE.md "multi-JVM" section):
     # - locality wait off: on a loopback "cluster" any-locality
