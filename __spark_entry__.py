@@ -604,6 +604,52 @@ def q_media_bytes(spark, sf_dir):
     )
 
 
+def q_stream_window(spark, sf_dir):
+    """The watermarked event-time window aggregation of the streaming
+    ingest path (page_rate_metrics) run END-TO-END as a bounded stream:
+    documents mapped onto the pages schema with deterministic event times
+    spread over ~83 minutes, tumbling 10-minute windows, complete-mode
+    memory sink.  Tumbling windows make each event belong to exactly one
+    window, so the result is plain GROUP BY arithmetic in SQL."""
+    import shutil
+    import tempfile
+
+    from ontologybasedkgcreation_spark.streaming import ingest
+
+    d = _doc(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(secs=F.col("doc_id") * 10)
+        ).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    base = tempfile.mkdtemp(prefix="stream_window_")
+    try:
+        src = f"{base}/src"
+        pages.coalesce(1).write.parquet(src)
+        stream = ingest.read_page_stream(spark, src, max_files_per_trigger=1_000_000)
+        metrics = ingest.page_rate_metrics(
+            stream, window="10 minutes", slide="10 minutes", watermark="1 hour"
+        )
+        q = (
+            metrics.writeStream.format("memory")
+            .queryName("q_stream_window_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        got = spark.sql("select * from q_stream_window_sink")
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_dedup(spark, sf_dir):
     """The applyInPandasWithState online exact-dedup operator run END-TO-END
     as a bounded stream (one availableNow micro-batch): documents plus a
@@ -705,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_metadata": q_case_metadata,
         "media_bytes": q_media_bytes,
         "stream_dedup": q_stream_dedup,
+        "stream_window": q_stream_window,
     }
 
 
@@ -1180,6 +1227,21 @@ SELECT CAST(a.doc AS BIGINT) AS a, CAST(b.doc AS BIGINT) AS b,
        CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
 FROM sig a JOIN sig b ON a.doc < b.doc
 WHERE bit_count(xor(a.s, b.s)) <= 3
+""",
+        # stream_window: tumbling event-time windows == epoch-floored GROUP BY
+        "stream_window": """
+WITH p AS (
+  SELECT TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds((doc_id * 10 // 600) * 600) AS window_start,
+         lang, text
+  FROM documents
+)
+SELECT window_start,
+       window_start + to_minutes(10) AS window_end,
+       lang,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+FROM p GROUP BY window_start, lang
 """,
         # stream_dedup: the stateful streaming operator's single-batch run
         # is first-occurrence-per-content + copy count — plain SQL.  The
