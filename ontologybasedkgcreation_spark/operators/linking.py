@@ -768,11 +768,20 @@ def link_nodes(
     if accept == "bm25":
         pairs = bm25_adopt_pairs(tok).select("a", "b")
     else:
-        w_rare = Window.partitionBy("pre_key").orderBy("df", "token")
+        # rarest token per node: a rank-1-only window is just a MIN — the
+        # struct min orders by (df, token) exactly like the window's
+        # orderBy, but aggregates with map-side combine (shuffle volume
+        # |nodes| per mapper, no full sort of the token table).  tokens are
+        # per-node distinct (array_except is a set op), so no ties beyond
+        # the token ordering itself.
         probe = (
-            tok.withColumn("_rk", F.row_number().over(w_rare))
-            .filter(F.col("_rk") == 1)
-            .select("labels_str", "token", F.col("pre_key").alias("p"))
+            tok.groupBy("pre_key")
+            .agg(F.min(F.struct("df", "token", "labels_str")).alias("m"))
+            .select(
+                F.col("m.labels_str").alias("labels_str"),
+                F.col("m.token").alias("token"),
+                F.col("pre_key").alias("p"),
+            )
         )
         cand = (
             probe.join(
