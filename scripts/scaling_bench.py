@@ -96,8 +96,10 @@ def main() -> int:
     n = int(args[1]) if len(args) > 1 else (2 if cluster else 8)
     target_chars = int(args[2]) if len(args) > 2 else 20000
     if cluster:
-        lo_master = f"local-cluster[1,{n},16384]"
-        hi_master = f"local-cluster[4,{n},16384]"
+        # the third field is the WORKER memory cap (MB) and must cover the
+        # child's spark.executor.memory (24g) or executors never launch
+        lo_master = f"local-cluster[1,{n},24576]"
+        hi_master = f"local-cluster[4,{n},24576]"
     else:
         lo_master, hi_master = f"local[{n}]", f"local[{4 * n}]"
     lo = run_level(lo_master, n_pages, target_chars)
