@@ -118,15 +118,16 @@ def main() -> int:
     }
     print(json.dumps(summary))
 
+    # raw append-only run log (curated rows live in BASELINE.md by hand —
+    # blind appends kept corrupting its section structure)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    path = os.path.join(REPO, "BENCH", "scaling_runs.md")
     header_needed = not os.path.exists(path)
     with open(path, "a") as fh:
         if header_needed:
             fh.write(
-                "# BENCH baseline — measured numbers for this engine\n\n"
-                "## Scaling evidence (same job, same input, two parallelism "
-                "levels — the in-sandbox stand-in for N vs 4N executors)\n\n"
+                "# Raw scaling-bench run log (append-only; every "
+                "scripts/scaling_bench.py invocation)\n\n"
                 "| pages | N leg | pages/s @N | 4N leg | pages/s @4N | "
                 "speedup | efficiency |\n|---|---|---|---|---|---|---|\n"
             )
