@@ -412,11 +412,16 @@ def bm25_adopt_pairs(
             ),
         )
     )
-    w_rare = Window.partitionBy("pre_key").orderBy("df", "token")
+    # rank-1 window == struct MIN (map-side combinable, no full sort —
+    # same rewrite as the containment probe)
     probe = (
-        tok.withColumn("_rk", F.row_number().over(w_rare))
-        .filter(F.col("_rk") == 1)
-        .select("labels_str", "token", F.col("pre_key").alias("q"))
+        tok.groupBy("pre_key")
+        .agg(F.min(F.struct("df", "token", "labels_str")).alias("m"))
+        .select(
+            F.col("m.labels_str").alias("labels_str"),
+            F.col("m.token").alias("token"),
+            F.col("pre_key").alias("q"),
+        )
     )
     cand = (
         probe.join(
@@ -455,10 +460,16 @@ def bm25_adopt_pairs(
     )
     if quantize is not None:
         scored = scored.withColumn("score", F.round(F.col("score"), quantize))
-    w_top = Window.partitionBy("q").orderBy(F.desc("score"), "d")
+    # top-1 by (score DESC, d ASC) == struct MIN over (-score, d): score
+    # negation is exact for doubles, so ordering and ties reproduce the
+    # window exactly (the bm25_adopt oracle pins both)
+    top1 = (
+        scored.groupBy("q")
+        .agg(F.min(F.struct((-F.col("score")).alias("ns"), "d")).alias("m"))
+        .select("q", F.col("m.d").alias("d"), (-F.col("m.ns")).alias("score"))
+    )
     return (
-        scored.withColumn("_rk", F.row_number().over(w_top))
-        .filter((F.col("_rk") == 1) & (F.col("score") > threshold))
+        top1.filter(F.col("score") > threshold)
         .select(
             F.least("q", "d").alias("a"),
             F.greatest("q", "d").alias("b"),
@@ -523,11 +534,26 @@ def refine_pairs(
         gdf.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)),
         ["labels_str", "gram"],
     )
-    w = Window.partitionBy("pre_key").orderBy("df", "gram")
+    # top-n_probe by (df, gram) == sorted collect_list slice: grams are
+    # per-node distinct and few (identity strings are short), so the agg
+    # buffer is tiny and partial-aggregates map-side — no full-sort window
     probe = (
-        g.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_probe)
-        .select("labels_str", "gram", F.col("pre_key").alias("p"))
+        g.groupBy("pre_key")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("df", "gram", "labels_str"))
+                ),
+                1,
+                n_probe,
+            ).alias("top")
+        )
+        .select(F.col("pre_key").alias("p"), F.explode("top").alias("m"))
+        .select(
+            F.col("m.labels_str").alias("labels_str"),
+            F.col("m.gram").alias("gram"),
+            "p",
+        )
     )
     cand = (
         probe.join(
