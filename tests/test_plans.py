@@ -125,3 +125,31 @@ def test_merge_read_prunes_to_affected_buckets(spark, tmp_path):
     m = re.search(r"IN \(([^)]*)\)", pf)
     assert m, f"no static IN filter in PartitionFilters: {pf}"
     assert {int(x) for x in m.group(1).split(",")} == {2, 5}
+
+
+def test_linking_pair_plan_has_no_sort_windows(spark):
+    """The containment probe, bm25 probe/top-1, and refine gram probe are
+    all rank-1/top-k selections rewritten as map-side-combinable
+    aggregations (struct MIN / sorted collect_list slice): the pair
+    generators' plans must contain NO Window operator — a full-sort window
+    over the token/gram tables was the dominant linking cost in
+    multi-process mode (97s -> 51s at 30k pages when removed)."""
+    from ontologybasedkgcreation_spark.operators import linking
+
+    rows = [
+        ("Court", "Court", f"k{i}", {"courtName": f"Court {i} Of State"},
+         f"Court {i} Of State", ["Court"])
+        for i in range(6)
+    ]
+    nodes = linking.tokenized_node_frame(
+        spark.createDataFrame(
+            rows,
+            "labels_str string, head_label string, pre_key string, "
+            "props map<string,string>, identity string, labels array<string>",
+        ),
+        abbrevs={},
+    )
+    for accept in ("containment", "bm25"):
+        linked = linking.link_nodes(nodes, accept=accept)
+        plan = _plan(linked["mapping"], "simple")
+        assert "Window" not in plan, accept
