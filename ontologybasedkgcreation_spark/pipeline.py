@@ -99,31 +99,37 @@ def primary_case_nodes(assigned: DataFrame, mapping: DataFrame) -> DataFrame:
     fully-named triples rank first; when extraction missed hasCaseName on
     every header the earliest hasRulingOf triple is the fallback — a
     grammar miss must not cost a document its whole hasParagraph /
-    CaseMetadata subgraph (the reference emits both unconditionally)."""
-    from pyspark.sql import Window
+    CaseMetadata subgraph (the reference emits both unconditionally).
 
-    named = (
+    Rank-1-per-url is a struct MIN (unnamed flag asc ≡ named desc, then
+    span_start, triple_id), not a sort window — same rewrite as the
+    linking probes (map-side combinable, no full sort of the
+    hasRulingOf subset)."""
+    unnamed = (
         F.coalesce(
             F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")
         )
-        != ""
+        == ""
     ).cast("int")
-    w = Window.partitionBy("url").orderBy(
-        named.desc(), "span_start", "triple_id"
-    )
     primary = (
         assigned.filter(
             (F.col("relationship") == "hasRulingOf")
             & (F.col("node1_type") == "CourtCase")
         )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
         .select(
             "url",
-            linking.pre_key_expr(
-                F.col("node1_labels"), F.col("node1_props")
-            ).alias("pre_key"),
+            F.struct(
+                unnamed.alias("unnamed"),
+                F.col("span_start").alias("span_start"),
+                F.col("triple_id").alias("triple_id"),
+                linking.pre_key_expr(
+                    F.col("node1_labels"), F.col("node1_props")
+                ).alias("pre_key"),
+            ).alias("cand"),
         )
+        .groupBy("url")
+        .agg(F.min("cand").alias("m"))
+        .select("url", F.col("m.pre_key").alias("pre_key"))
         .join(mapping, "pre_key")
         .select("url", "node_key")
     )
