@@ -78,42 +78,77 @@ def case_metadata_records(assigned: DataFrame) -> DataFrame:
     """E4 parity: one CaseMetadata record per document — the
     ``CaseMetadataParser`` fields (hasCaseID / hasCourtName / hasCaseName,
     reference ``output_parser.py:22-31``), derived from the document's
-    primary header triple (CourtCase-hasRulingOf->Court).  Cited prior
-    cases also emit hasRulingOf triples but carry no hasCaseName; the
-    earliest FULLY-NAMED header triple per url wins, and when a document's
-    extraction missed hasCaseName entirely the earliest hasRulingOf triple
-    is the fallback — the reference emits metadata per document
-    unconditionally (agent_utils.py:221-226), so no document may lose its
-    bookkeeping record to a grammar miss."""
-    from pyspark.sql import Window
+    primary header triple (CourtCase-hasRulingOf->Court).
 
-    hdr = assigned.filter(
+    Candidate tiers mirror :func:`pipeline.primary_case_nodes` (the record
+    and the hasParagraph subgraph must agree on which case is primary):
+
+    0. fully-named hasRulingOf — the parsed header (cited priors also emit
+       hasRulingOf but carry no hasCaseName);
+    1. hasParty with a CourtCase subject — emitted only for the document's
+       OWN header block, so a court-name parse miss (no header hasRulingOf)
+       still yields the document's own (hasCaseID, hasCaseName) with an
+       empty hasCourtName, instead of adopting a cited precedent's id;
+    2. unnamed hasRulingOf — body reliance citations, last resort: the
+       reference emits metadata per document unconditionally
+       (agent_utils.py:221-226), so no document may lose its bookkeeping
+       record to a grammar miss.
+
+    Rank-1-per-url is a struct MIN (tier asc, span_start, triple_id), not a
+    sort window — map-side combinable like the linking probes."""
+    named = F.coalesce(
+        F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")
+    ) != ""
+    ruling = assigned.filter(
         (F.col("relationship") == "hasRulingOf")
         & (F.col("node1_type") == "CourtCase")
-    )
-    w = Window.partitionBy("url").orderBy(
-        (F.col("hasCaseName") != "").cast("int").desc(),
+    ).select(
+        "url",
+        F.when(named, 0).otherwise(2).alias("tier"),
         "span_start",
         "triple_id",
+        "node1_props",
+        F.coalesce(
+            F.element_at("node2_props", F.lit("courtName")), F.lit("")
+        ).alias("_court"),
+    )
+    party = assigned.filter(
+        (F.col("relationship") == "hasParty")
+        & (F.col("node1_type") == "CourtCase")
+    ).select(
+        "url",
+        F.lit(1).alias("tier"),
+        "span_start",
+        "triple_id",
+        "node1_props",
+        F.lit("").alias("_court"),
     )
     return (
-        hdr.select(
+        ruling.unionByName(party)
+        .select(
             "url",
-            "span_start",
-            "triple_id",
-            F.coalesce(
-                F.element_at("node1_props", F.lit("hasCaseID")), F.lit("")
-            ).alias("hasCaseID"),
-            F.coalesce(
-                F.element_at("node2_props", F.lit("courtName")), F.lit("")
-            ).alias("hasCourtName"),
-            F.coalesce(
-                F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")
-            ).alias("hasCaseName"),
+            F.struct(
+                F.col("tier").alias("tier"),
+                F.col("span_start").alias("span_start"),
+                F.col("triple_id").alias("triple_id"),
+                F.coalesce(
+                    F.element_at("node1_props", F.lit("hasCaseID")), F.lit("")
+                ).alias("hasCaseID"),
+                F.col("_court").alias("hasCourtName"),
+                F.coalesce(
+                    F.element_at("node1_props", F.lit("hasCaseName")),
+                    F.lit(""),
+                ).alias("hasCaseName"),
+            ).alias("cand"),
         )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "span_start", "triple_id")
+        .groupBy("url")
+        .agg(F.min("cand").alias("m"))
+        .select(
+            "url",
+            F.col("m.hasCaseID").alias("hasCaseID"),
+            F.col("m.hasCourtName").alias("hasCourtName"),
+            F.col("m.hasCaseName").alias("hasCaseName"),
+        )
     )
 
 
@@ -338,8 +373,13 @@ class GraphWriter:
         try:
             with open(self._meta_file(path), encoding="utf-8") as fh:
                 stored = json.load(fh)["buckets"]
-        except OSError:
-            return  # pre-sidecar table: nothing to check against
+        except (OSError, ValueError, KeyError, TypeError):
+            # pre-sidecar (legacy) or truncated/corrupt sidecar: nothing
+            # trustworthy to check against — record the CURRENT bucket count
+            # as authoritative so the next merge with a different count is
+            # caught instead of silently leaving stale duplicate keys
+            self._write_meta(path)
+            return
         if stored != self.buckets:
             raise ValueError(
                 f"GraphWriter(buckets={self.buckets}) cannot merge into "

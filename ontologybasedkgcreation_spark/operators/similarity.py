@@ -365,7 +365,16 @@ def cosine_neardup_pairs_lsh(
     sequential-fold bit-exact with the JVM spec and the SQL oracle); the
     candidate join and exact verify are JVM expressions."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # probe the first row for the vector length; an EMPTY input frame
+        # (e.g. refine_pairs_semantic over an all-CourtCase block) must
+        # yield an empty pair frame, not a TypeError on first()==None
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            id_t = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"a {id_t}, b {id_t}, cosine double"
+            )
+        dim = len(row[0])
     n_bands = bits // band_bits
     sig = srp_signature(df, id_col, vec_col, block_col, bits, band_bits, dim)
     banded = sig.select(

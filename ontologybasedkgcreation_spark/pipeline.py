@@ -95,31 +95,47 @@ def primary_case_nodes(assigned: DataFrame, mapping: DataFrame) -> DataFrame:
     """(url, node_key) of each document's primary CourtCase — the subject of
     the document's hasRulingOf triple (header), for hasParagraph edges.
 
-    Cited prior cases also emit hasRulingOf but carry no hasCaseName, so
-    fully-named triples rank first; when extraction missed hasCaseName on
-    every header the earliest hasRulingOf triple is the fallback — a
-    grammar miss must not cost a document its whole hasParagraph /
-    CaseMetadata subgraph (the reference emits both unconditionally).
+    Three candidate tiers per url (the reference attaches the subgraph to
+    the document's OWN case, agent_utils.py:210-235):
 
-    Rank-1-per-url is a struct MIN (unnamed flag asc ≡ named desc, then
-    span_start, triple_id), not a sort window — same rewrite as the
-    linking probes (map-side combinable, no full sort of the
-    hasRulingOf subset)."""
+    0. fully-named hasRulingOf triples — the parsed header (cited prior
+       cases also emit hasRulingOf but carry no hasCaseName);
+    1. hasParty triples whose subject is a CourtCase — emitted ONLY for the
+       document's own header case block, so when court-name parsing missed
+       (no header hasRulingOf at all) the document's own case still wins
+       over tier 2;
+    2. unnamed hasRulingOf triples — body reliance citations; the last
+       resort, so a grammar miss never costs a document its whole
+       hasParagraph / CaseMetadata subgraph (the reference emits both
+       unconditionally).  Without tier 1 this tier could elect a SHARED
+       cited-precedent node and pile many documents' paragraph subgraphs
+       onto it.
+
+    Rank-1-per-url is a struct MIN (tier asc, span_start, triple_id), not a
+    sort window — same rewrite as the linking probes (map-side combinable,
+    no full sort of the candidate subset)."""
     unnamed = (
         F.coalesce(
             F.element_at("node1_props", F.lit("hasCaseName")), F.lit("")
         )
         == ""
     ).cast("int")
+    ruling = assigned.filter(
+        (F.col("relationship") == "hasRulingOf")
+        & (F.col("node1_type") == "CourtCase")
+    ).select("url", (unnamed * 2).alias("tier"), "span_start", "triple_id",
+             "node1_labels", "node1_props")
+    party = assigned.filter(
+        (F.col("relationship") == "hasParty")
+        & (F.col("node1_type") == "CourtCase")
+    ).select("url", F.lit(1).alias("tier"), "span_start", "triple_id",
+             "node1_labels", "node1_props")
     primary = (
-        assigned.filter(
-            (F.col("relationship") == "hasRulingOf")
-            & (F.col("node1_type") == "CourtCase")
-        )
+        ruling.unionByName(party)
         .select(
             "url",
             F.struct(
-                unnamed.alias("unnamed"),
+                F.col("tier").alias("tier"),
                 F.col("span_start").alias("span_start"),
                 F.col("triple_id").alias("triple_id"),
                 linking.pre_key_expr(

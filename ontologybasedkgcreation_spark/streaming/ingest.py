@@ -174,23 +174,32 @@ def reconcile_graph(
         accept=accept,
     )
     mapping = linked["mapping"]
+    # LEFT joins with a fall-back to the original key: an edge whose endpoint
+    # is not in the mapping keeps its key instead of being dropped.  In a
+    # clean run every endpoint IS mapped (edges were written against the same
+    # stored-node table the mapping was derived from), so this is a no-op —
+    # it exists for the crash window below, where the edges table is one
+    # reconcile generation AHEAD of the nodes table and its keys are already
+    # final.
     rewired = (
         stored_edges.join(
             mapping.withColumnRenamed("pre_key", "src_key").withColumnRenamed(
                 "node_key", "new_src"
             ),
             "src_key",
+            "left",
         )
         .join(
             mapping.withColumnRenamed("pre_key", "dst_key").withColumnRenamed(
                 "node_key", "new_dst"
             ),
             "dst_key",
+            "left",
         )
         .select(
-            F.col("new_src").alias("src_key"),
+            F.coalesce("new_src", "src_key").alias("src_key"),
             "relationship",
-            F.col("new_dst").alias("dst_key"),
+            F.coalesce("new_dst", "dst_key").alias("dst_key"),
             "url",
             "span_start",
             "triple_id",
@@ -199,8 +208,19 @@ def reconcile_graph(
     # snapshot before the writes: rewired lazily reads the very edges path
     # write() is about to overwrite (same discipline as GraphWriter.merge)
     rewired = rewired.localCheckpoint()
-    writer.write("nodes", linked["nodes"], key="node_key")
+    # CRASH-SAFE WRITE ORDER: edges BEFORE nodes.  The two table writes
+    # cannot be atomic together, so the order is chosen to make the one
+    # possible inconsistent state self-healing: a crash between the writes
+    # leaves edges on NEW keys and nodes on OLD keys; the next reconcile
+    # re-links the same old node table (linking is deterministic and keys
+    # are content hashes, so it reproduces the identical consolidated nodes
+    # and mapping), the already-rewired edge keys miss the mapping's
+    # pre_keys and pass through UNCHANGED via the left-join fallback, and
+    # completing both writes converges to exactly the clean-run tables.
+    # (Nodes-first would strand OLD edge keys against a NEW node table —
+    # the next mapping is keyed by new pre_keys, old keys never heal.)
     writer.write("edges", rewired, key="url")
+    writer.write("nodes", linked["nodes"], key="node_key")
     return {"nodes": linked["nodes"], "edges": rewired, "mapping": mapping}
 
 

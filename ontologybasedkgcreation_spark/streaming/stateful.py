@@ -65,6 +65,32 @@ DEDUP_STATE_SCHEMA = StructType(
 
 _US = 1_000_000
 
+# Spark-style interval units -> microseconds (the aliases Spark's own
+# CalendarInterval parser accepts for sub-week units)
+_TTL_UNITS = {
+    **{u: 1_000 for u in ("ms", "millisecond", "milliseconds")},
+    **{u: _US for u in ("s", "sec", "secs", "second", "seconds")},
+    **{u: 60 * _US for u in ("m", "min", "mins", "minute", "minutes")},
+    **{u: 3600 * _US for u in ("h", "hr", "hrs", "hour", "hours")},
+    **{u: 86_400 * _US for u in ("d", "day", "days")},
+}
+
+
+def _parse_ttl_us(ttl: str) -> int:
+    """'2 hours' / '1 day' / '90 min' / '500ms' -> microseconds.  Raises a
+    ValueError naming the accepted formats instead of a bare KeyError."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([A-Za-z]+)\s*", ttl)
+    unit_us = _TTL_UNITS.get(m.group(2).lower()) if m else None
+    if unit_us is None:
+        raise ValueError(
+            f"invalid ttl {ttl!r}: expected '<n> <unit>' with unit one of "
+            f"{sorted(_TTL_UNITS)} (e.g. '2 hours', '1 day', '90 min', "
+            f"'500 ms')"
+        )
+    return int(m.group(1)) * unit_us
+
 
 def _dedup_fn(
     key: Tuple[Any, ...],
@@ -128,17 +154,7 @@ def streaming_dedup_exact(
     watermark; ``None`` keeps state forever (exact dedup, unbounded state —
     fine for bounded replays, not for an always-on stream).
     """
-    ttl_us = 0
-    if ttl is not None:
-        n, unit = ttl.split()
-        ttl_us = int(n) * {
-            "second": _US,
-            "seconds": _US,
-            "minute": 60 * _US,
-            "minutes": 60 * _US,
-            "hour": 3600 * _US,
-            "hours": 3600 * _US,
-        }[unit]
+    ttl_us = _parse_ttl_us(ttl) if ttl is not None else 0
     keyed = pages_stream.select(
         F.sha2(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"), 256).alias(
             "content_key"
