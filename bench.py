@@ -51,7 +51,40 @@ BENCH_QUERIES = [
 ]
 
 
+def host_calibration(spark) -> tuple[float, list[float]]:
+    """Fixed JVM-only probe timed FIRST, so the host's speed that day is
+    recorded inside the artifact: a pinned 48M-row codegen aggregation
+    (range -> xxhash64 -> arithmetic -> one agg) with no Python, no disk,
+    no shuffle beyond the final reduce.  Identical work every round — the
+    ratio of two rounds' ``host_calibration_sec`` is the host-speed ratio,
+    which makes a cross-round headline swing attributable (engine vs host)
+    from the JSON alone.  min-of-3 (the first run JIT-warms the JVM and
+    routinely reads ~6x slower than warm, so the min needs two warm
+    samples behind it)."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 48_000_000, 1, int(CPUS))
+            .select(
+                F.xxhash64("id").alias("h"),
+                (F.col("id") * 2654435761 % 1000003).alias("m"),
+            )
+            .agg(
+                F.sum(F.col("h") % 1024).alias("s"),
+                F.approx_count_distinct("m").alias("d"),
+            )
+            .collect()
+        )
+        runs.append(round(time.time() - t0, 3))
+    return min(runs), runs
+
+
 def main() -> int:
+    import statistics
+
     import __spark_entry__ as entry
     from ontologybasedkgcreation_spark import fixtures, pipeline
     from ontologybasedkgcreation_spark.session import get_spark
@@ -61,25 +94,28 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    cal_sec, cal_runs = host_calibration(spark)
+
     timings: dict[str, float] = {}
 
-    # headline: KG pipeline pages/sec.  Best of two runs: this host's
-    # shared tenancy shows rare 2-3x slow modes on identical code+data
-    # (73s / 104s / 237s observed for the same job); min-of-k is the
-    # standard throughput-benchmark answer, and both raw timings are
-    # reported in kg_pipeline_runs.
+    # headline: KG pipeline pages/sec.  MEDIAN of three runs in one warm
+    # JVM: this host's shared tenancy shows rare 2-3x slow modes on
+    # identical code+data (73s / 104s / 237s observed for the same job);
+    # the median tolerates one slow-mode sample without hiding a real
+    # regression the way min-of-k can, and all raw timings are reported in
+    # kg_pipeline_runs so the artifact is self-explaining.
     pages = fixtures.pages_df_distributed(spark, N_PAGES, partitions=int(CPUS) * 2,
                                       target_chars=PAGE_CHARS)
     pages = pages.cache()
     n_pages = pages.count()  # materialize input outside the timed region
     kg_runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         out = pipeline.run_pipeline(spark, pages, with_paragraphs=True)
         n_edges = out["edges"].count()
         n_nodes = out["nodes"].count()
         kg_runs.append(round(time.time() - t0, 3))
-    kg_sec = min(kg_runs)
+    kg_sec = statistics.median(kg_runs)
     timings["kg_pipeline"] = kg_sec
 
     qs = entry.queries()
@@ -98,9 +134,14 @@ def main() -> int:
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "kg_pipeline_runs": kg_runs,
-                # headline is BEST-OF-2 IN ONE WARM JVM (run 2 is JIT/cache
-                # advantaged); both raw timings above keep it apples-to-apples
-                "headline_mode": "best_of_2_warm",
+                # headline is MEDIAN-OF-3 IN ONE WARM JVM; raw timings above
+                # keep it apples-to-apples across rounds
+                "headline_mode": "median_of_3_warm",
+                # fixed JVM-only probe timed before everything else: compare
+                # across rounds to separate host-speed swings from engine
+                # changes (see host_calibration docstring + BENCH/BASELINE.md)
+                "host_calibration_sec": cal_sec,
+                "host_calibration_runs": cal_runs,
                 "pages": n_pages,
                 "pages_per_sec": round(n_pages / kg_sec, 2),
                 "nodes": n_nodes,

@@ -228,32 +228,61 @@ def minhash_lsh_pairs_from_shingles(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document (Arrow-batched numpy; no per-row Python
-    beyond the tokenizer split)."""
+    """64-bit SimHash per document — one Arrow-batched numpy stage with NO
+    per-row Python loop: the whole batch is exploded to one flat
+    (row, token) frame, each DISTINCT token is md5-hashed ONCE per batch
+    (the oracle pins md5-prefix hashes, so the hash itself must stay; on
+    natural-language corpora the distinct-token count is a small fraction
+    of the token stream, which is where the Python cost was), and the
+    per-bit majority is a single scatter-add over an (n_rows, 64) matrix.
+    Semantics are bit-identical to the per-row reference loop (distinct
+    tokens per doc, majority ``2*sum >= n``, empty doc -> 0)."""
 
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            out: List[int] = []
-            for text in pdf[text_col]:
-                toks = (text or "").split()
-                if not toks:
-                    out.append(0)
-                    continue
-                # stable 64-bit token hashes
-                hs = np.array(
-                    [hash_token(t) for t in set(toks)], dtype=np.uint64
+            n = len(pdf)
+            if n == 0:
+                continue
+            toks_lists = pdf[text_col].fillna("").str.split()
+            counts = toks_lists.str.len().to_numpy()
+            val = np.zeros(n, dtype=np.uint64)
+            if counts.sum() > 0:
+                rows = np.repeat(np.arange(n), counts)
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks_lists]
                 )
-                bits = (
-                    (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                ).astype(np.int64)
-                acc = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(
-                    np.uint64
+                # distinct tokens per row, then hash each DISTINCT token of
+                # the batch exactly once
+                tdf = pd.DataFrame({"r": rows, "t": flat}).drop_duplicates()
+                uniq, inv = np.unique(
+                    tdf["t"].to_numpy(), return_inverse=True
                 )
-                val = np.uint64(0)
-                for i in range(64):
-                    val |= np.uint64(acc[i]) << np.uint64(i)
-                out.append(int(np.int64(val)))
-            yield pd.DataFrame({"doc": pdf[id_col], "simhash": out})
+                hu = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                        )
+                        for t in uniq
+                    ),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                hs = hu[inv]
+                r = tdf["r"].to_numpy()
+                bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+                acc = np.zeros((n, 64), dtype=np.int64)
+                np.add.at(acc, r, bits)
+                cnt = np.bincount(r, minlength=n)
+                maj = (acc * 2 >= cnt[:, None]) & (cnt[:, None] > 0)
+                val = (maj.astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64
+                )
+            yield pd.DataFrame(
+                {"doc": pdf[id_col].values, "simhash": val.view(np.int64)}
+            )
 
     return df.select(id_col, text_col).mapInPandas(
         _sim, schema="doc long, simhash long"

@@ -174,24 +174,61 @@ def hashing_feature_vectors(
     model (the reference embeds node renderings with a 768-dim model,
     utils.py:786-873; the column contract is identical).  Arrow-batched,
     no per-row Python outside the tokenizer."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
-    from .dedup import hash_token
-
     def _feat(batches):
         for pdf in batches:
-            feats = []
-            for s in pdf[text_col]:
-                s = (s or "").lower()
-                toks = s.split()
-                toks += [s[i : i + 3] for i in range(max(len(s) - 2, 0))]
-                v = np.zeros(dim, dtype=np.float64)
-                for t in toks:
-                    v[hash_token(t) % dim] += 1.0
-                n = np.linalg.norm(v)
-                feats.append((v / n if n else v).astype(np.float32).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            n = len(pdf)
+            if n == 0:
+                continue
+            s = pdf[text_col].fillna("").str.lower()
+            # flat (row, token) stream WITH multiplicity (counts matter for
+            # hashing-TF): word tokens + char 3-grams, exploded batch-wide
+            toks_lists = s.str.split()
+            w_counts = toks_lists.str.len().to_numpy()
+            g_counts = (s.str.len() - 2).clip(lower=0).to_numpy()
+            rows = np.concatenate(
+                [
+                    np.repeat(np.arange(n), w_counts),
+                    np.repeat(np.arange(n), g_counts),
+                ]
+            )
+            flat = [t for toks in toks_lists for t in toks]
+            flat += [
+                st[i : i + 3]
+                for st in s
+                for i in range(max(len(st) - 2, 0))
+            ]
+            M = np.zeros((n, dim), dtype=np.float64)
+            if len(flat):
+                # each DISTINCT token of the batch is hashed ONCE (md5 kept:
+                # the bucket assignment is pinned by merge-behavior tests)
+                uniq, inv = np.unique(
+                    np.asarray(flat, dtype=object), return_inverse=True
+                )
+                bu = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                        )
+                        % dim
+                        for t in uniq
+                    ),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+                np.add.at(M, (rows, bu[inv]), 1.0)
+            norms = np.linalg.norm(M, axis=1)
+            M = M / np.where(norms == 0, 1.0, norms)[:, None]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "features": M.astype(np.float32).tolist(),
+                }
+            )
 
     return df.select(id_col, text_col).mapInPandas(
         _feat, schema=f"{id_col} string, features array<float>"
