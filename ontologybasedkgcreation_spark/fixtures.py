@@ -156,15 +156,32 @@ def _page_spec(i: int) -> dict:
                 "respondent": state_full,
             }
         )
-    # adversarial header variants drawn from the prompt's own example
-    # distribution (prompts.py:621-753): Diary-No case ids, lowercase
-    # "Versus", multi-judge benches ("…, JJ.")
-    diary = i % 13 == 5
-    case_id = (
-        f"DIARY NO.{case_no} OF {year}"
-        if diary
-        else f"CRIMINAL APPEAL NO.{case_no} OF {year}"
+    # adversarial header variants drawn from the prompt's own example and
+    # spec space (prompts.py:486-753): Diary-No case ids, lowercase
+    # "Versus", multi-judge benches ("…, JJ."), writ petitions (Petitioner
+    # party + WRIT JURISDICTION) and special-leave petitions — precedence
+    # writ > slp > diary so each page has exactly one id shape
+    writ = i % 17 == 6
+    slp = (i % 19 == 7) and not writ
+    diary = (i % 13 == 5) and not writ and not slp
+    pkind = "(CRIMINAL)" if i % 2 else "(CIVIL)"
+    if writ:
+        case_id = f"WRIT PETITION {pkind} NO.{case_no} OF {year}"
+    elif slp:
+        case_id = f"SPECIAL LEAVE PETITION {pkind} NO.{case_no} OF {year}"
+    elif diary:
+        case_id = f"DIARY NO.{case_no} OF {year}"
+    else:
+        case_id = f"CRIMINAL APPEAL NO.{case_no} OF {year}"
+    # writ/SLP headers mark the first party "…PETITIONER" (typed Petitioner);
+    # writ petitions sit under WRIT JURISDICTION, everything else under the
+    # criminal appellate line
+    party_marker = "PETITIONER" if (writ or slp) else "APPELLANT"
+    party_label = "Petitioner" if (writ or slp) else "Appellant"
+    juris_line = (
+        "WRIT JURISDICTION" if writ else "CRIMINAL APPELLATE JURISDICTION"
     )
+    juris_type = "Writ_Jurisdiction" if writ else "Appellant_Jurisdiction"
     sections = sorted(rng.sample(SECTIONS, 1 + (i % 3)))
     act = ACTS[i % len(ACTS)]
     place = PLACES[i % len(PLACES)]
@@ -176,6 +193,10 @@ def _page_spec(i: int) -> dict:
         "case_name": f"{appellant[0]} {appellant[1]} Versus {state_full}",
         "bench_judge": JUDGES[(i + 1) % len(JUDGES)] if i % 7 == 3 else None,
         "lower_versus": i % 11 == 4,
+        "party_marker": party_marker,
+        "party_label": party_label,
+        "juris_line": juris_line,
+        "juris_type": juris_type,
         "appellant": appellant,
         "state_full": state_full,
         "state_abbrev": state_abbrev,
@@ -200,11 +221,12 @@ def _page_text(s: dict, target_chars: int = 4200) -> str:
     j_init, j_last = s["judge"]
     w_first, w_last = s["witness"]
     versus = "Versus" if s.get("lower_versus") else "VERSUS"
+    marker = s.get("party_marker", "APPELLANT")
     lines = [
         "IN THE SUPREME COURT OF INDIA",
-        "CRIMINAL APPELLATE JURISDICTION",
+        s.get("juris_line", "CRIMINAL APPELLATE JURISDICTION"),
         s["case_id"],
-        f"{a_first.upper()} {a_last.upper()} …APPELLANT",
+        f"{a_first.upper()} {a_last.upper()} …{marker}",
         versus,
         f"{s['state_full'].upper()} …RESPONDENT",
     ]
@@ -215,7 +237,7 @@ def _page_text(s: dict, target_chars: int = 4200) -> str:
             lines.extend(
                 [
                     wc["case_id"],
-                    f"{wf.upper()} {wl.upper()} …APPELLANT",
+                    f"{wf.upper()} {wl.upper()} …{marker}",
                     versus,
                     f"{wc['respondent'].upper()} …RESPONDENT",
                 ]
@@ -294,13 +316,15 @@ def expected_triples(s: dict) -> List[dict]:
     cc = ("CourtCase", canon_props({"hasCaseID": s["case_id"], "hasCaseName": s["case_name"]}))
     court = ("Court", {"courtName": "Supreme Court Of India"})
     judge = ("Judge", canon_props({"COFirstName": j_init, "COLastName": j_last}))
-    appellant = ("Appellant", canon_props({"firstName": a_first, "lastName": a_last}))
+    ap_label = s.get("party_label", "Appellant")
+    appellant = (ap_label, canon_props({"firstName": a_first, "lastName": a_last}))
     respondent = ("Respondent", canon_props({"firstName": s["state_full"]}))
     d, mon, yr = s["doj"]
 
     rows: List[Tuple[Tuple[str, dict], str, Tuple[str, dict]]] = [
         (cc, "hasRulingOf", court),
-        (court, "hasJurisdiction", ("Appellant_Jurisdiction", {})),
+        (court, "hasJurisdiction",
+         (s.get("juris_type", "Appellant_Jurisdiction"), {})),
         (cc, "hasParty", appellant),
         (appellant, "hasPartyType", ("Individual", {})),
         (cc, "hasParty", respondent),

@@ -56,18 +56,25 @@ def _s(v: str) -> Dict[str, str]:
 
 _COURT_RE = re.compile(r"^IN THE ([A-Z][A-Z .]+)$", re.M)
 _JURIS_RE = re.compile(
-    r"^(CRIMINAL|CIVIL) APPELLATE JURISDICTION$|^(ORIGINAL) JURISDICTION$", re.M
+    r"^(CRIMINAL|CIVIL) APPELLATE JURISDICTION$"
+    r"|^(?:CIVIL |CRIMINAL )?(ORIGINAL) JURISDICTION$"
+    r"|^(WRIT) JURISDICTION$",
+    re.M,
 )
 # tolerant of the ellipsis form ("…" vs "..."), mixed-case markers
-# (lowercase "versus"), plural appeal numbers ("NOS.1116-1118 OF 2010")
-# and Diary-No case ids, the way real judgment headers vary
-# (cf. the prompt example, prompts.py:624-638)
+# (lowercase "versus"), plural appeal numbers ("NOS.1116-1118 OF 2010"),
+# Diary-No case ids, and the writ-petition / special-leave-petition id
+# shapes of the prompt's own spec space (prompts.py:486-753: Petitioner
+# party role, Writ_Jurisdiction) — writ/SLP blocks mark their first party
+# "…PETITIONER" (optionally "(S)"-suffixed), which also types the party
 _CASE_BLOCK_RE = re.compile(
-    r"^((?:(?:CRIMINAL|CIVIL) APPEAL NOS?\.\s?\d+(?:-\d+)? OF \d{4})"
+    r"^(?P<cid>(?:(?:CRIMINAL|CIVIL) APPEAL NOS?\.\s?\d+(?:-\d+)? OF \d{4})"
+    r"|(?:WRIT PETITION \((?:CIVIL|CRIMINAL)\) NOS?\.\s?\d+(?:-\d+)? OF \d{4})"
+    r"|(?:SPECIAL LEAVE PETITION \((?:CIVIL|CRIMINAL)\) NOS?\.\s?\d+(?:-\d+)? OF \d{4})"
     r"|(?:DIARY NO\.\s?\d+ OF \d{4}))\n"
-    r"(.+?) (?:…|\.{3})\s?APPELLANT\n"
+    r"(?P<ap>.+?) (?:…|\.{3})\s?(?P<marker>APPELLANT|PETITIONER)(?:\(S\))?\n"
     r"VERSUS\n"
-    r"(.+?) (?:…|\.{3})\s?RESPONDENT$",
+    r"(?P<resp>.+?) (?:…|\.{3})\s?RESPONDENT(?:\(S\))?$",
     re.M | re.I,
 )
 _JUDGE_LINE_RE = re.compile(r"^([A-Z]\.(?: [A-Z]\.)*) ([A-Z]+), J\.$", re.M)
@@ -126,9 +133,9 @@ def extract_from_text(text: str) -> List[Triple]:
     case_blocks = list(_CASE_BLOCK_RE.finditer(header))
     primary: Optional[Dict[str, str]] = None
     if case_blocks:
-        cid = case_blocks[0].group(1)
-        appellant0 = case_blocks[0].group(2).strip().title()
-        respondent0 = case_blocks[0].group(3).strip().title()
+        cid = case_blocks[0].group("cid")
+        appellant0 = case_blocks[0].group("ap").strip().title()
+        respondent0 = case_blocks[0].group("resp").strip().title()
         primary = {
             "hasCaseID": cid,
             "hasCaseName": f"{appellant0} Versus {respondent0}",
@@ -142,35 +149,43 @@ def extract_from_text(text: str) -> List[Triple]:
 
     juris_m = _JURIS_RE.search(header)
     if juris_m and court_name:
-        jtype = (
-            "Appellant_Jurisdiction"
-            if juris_m.group(1)
-            else "Original_Jurisdiction"
-        )
+        if juris_m.group(1):
+            jtype = "Appellant_Jurisdiction"
+        elif juris_m.group(2):
+            jtype = "Original_Jurisdiction"
+        else:
+            jtype = "Writ_Jurisdiction"
         triples.append(
             (juris_m.start(), "Court", _s(court_name), "hasJurisdiction", jtype, _s(""))
         )
 
     for bi, block in enumerate(case_blocks):
-        cid = block.group(1)
-        appellant = block.group(2).strip().title()
-        respondent = block.group(3).strip().title()
+        cid = block.group("cid")
+        appellant = block.group("ap").strip().title()
+        respondent = block.group("resp").strip().title()
+        # "…PETITIONER" marks a writ/SLP first party: typed Petitioner
+        # (is_a Party in the ontology) instead of Appellant
+        ap_label = (
+            "Petitioner"
+            if block.group("marker").upper() == "PETITIONER"
+            else "Appellant"
+        )
         if bi == 0:
             # parties of the primary case
             triples.append(
-                (block.start(2), "CourtCase", dict(primary), "hasParty",
-                 "Appellant", _s(appellant))
+                (block.start("ap"), "CourtCase", dict(primary), "hasParty",
+                 ap_label, _s(appellant))
             )
             triples.append(
-                (block.start(2), "Appellant", _s(appellant), "hasPartyType",
+                (block.start("ap"), ap_label, _s(appellant), "hasPartyType",
                  _party_type(appellant), _s(""))
             )
             triples.append(
-                (block.start(3), "CourtCase", dict(primary), "hasParty",
+                (block.start("resp"), "CourtCase", dict(primary), "hasParty",
                  "Respondent", _s(respondent))
             )
             triples.append(
-                (block.start(3), "Respondent", _s(respondent), "hasPartyType",
+                (block.start("resp"), "Respondent", _s(respondent), "hasPartyType",
                  _party_type(respondent), _s(""))
             )
         elif primary:
@@ -325,8 +340,9 @@ def parse_triples_json(df: DataFrame, json_col: str = "response") -> DataFrame:
 def anchor_gate_condition():
     """JVM-side predicate pushdown for the Python extraction stage: a page
     can produce a triple ONLY if its text contains one of these literal
-    anchors (each grammar rule embeds at least one — 'APPELLANT' for the
-    header case blocks (case-insensitive there), 'JURISDICTION' for the
+    anchors (each grammar rule embeds at least one — 'APPELLANT' or
+    'PETITIONER' for the header case blocks (case-insensitive there, the
+    latter for writ/SLP blocks), 'JURISDICTION' for the
     jurisdiction line, ', J' for the judge/bench lines, and the body
     rules' fixed phrases; rules that additionally require a primary case
     or court name are gated by their own anchors, so OR is conservative).
@@ -341,6 +357,7 @@ def anchor_gate_condition():
     lt = SF.lower(t)
     return (
         lt.contains("appellant")
+        | lt.contains("petitioner")  # writ/SLP case blocks
         | t.contains("JURISDICTION")
         | t.contains(", J")
         | t.contains("submitted that")

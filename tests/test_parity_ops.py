@@ -162,6 +162,61 @@ def test_node_feature_vectors(spark):
     assert abs(norm - 1.0) < 1e-5      # L2-normalized
 
 
+def test_writ_and_slp_header_shapes():
+    """Round-4 grammar widening (the prompt's own spec space, prompts.py:
+    486-753, includes Petitioner and Writ_Jurisdiction): writ-petition and
+    special-leave-petition case ids parse, their first party is typed
+    Petitioner (not Appellant), WRIT JURISDICTION maps to Writ_Jurisdiction,
+    and WITH-block citations still chain off the primary case."""
+    from ontologybasedkgcreation_spark import fixtures
+    from ontologybasedkgcreation_spark.operators.extract import extract_from_text
+
+    # fixture indices: 6/23/40 writ (23 carries WITH blocks), 7 SLP
+    for i, want_cid, want_juris in [
+        (6, "WRIT PETITION (CIVIL) NO.1006 OF 2001", "Writ_Jurisdiction"),
+        (7, "SPECIAL LEAVE PETITION (CRIMINAL) NO.1007 OF 2002",
+         "Appellant_Jurisdiction"),
+        (23, "WRIT PETITION (CRIMINAL) NO.1023 OF 2018", "Writ_Jurisdiction"),
+    ]:
+        s = fixtures._page_spec(i)
+        assert s["case_id"] == want_cid
+        triples = extract_from_text(fixtures._page_text(s))
+        shapes = [(t[1], t[3], t[4]) for t in triples]
+        assert ("CourtCase", "hasParty", "Petitioner") in shapes
+        assert ("CourtCase", "hasParty", "Appellant") not in shapes
+        assert ("Petitioner", "hasPartyType", "Individual") in shapes
+        assert ("Court", "hasJurisdiction", want_juris) in shapes
+        # the primary case carries the new-format id
+        ruling = [t for t in triples if t[3] == "hasRulingOf"][0]
+        assert ruling[2]["hasCaseID"] == want_cid
+        # WITH blocks cite with the same id family
+        n_with = len(s["with_cases"])
+        assert len([1 for sh in shapes if sh[1] == "cited"]) >= n_with
+
+
+def test_writ_respondent_s_suffix_and_dotted_ellipsis():
+    """Real headers also write '...PETITIONER(S)' / '...RESPONDENT(S)' with
+    three dots; the block regex accepts both decorations."""
+    from ontologybasedkgcreation_spark.operators.extract import extract_from_text
+
+    text = (
+        "IN THE SUPREME COURT OF INDIA\n"
+        "WRIT JURISDICTION\n"
+        "WRIT PETITION (CIVIL) NO. 123 OF 2020\n"
+        "MOHAN DAS ...PETITIONER(S)\n"
+        "VERSUS\n"
+        "STATE OF HARYANA ...RESPONDENT(S)\n"
+        "J U D G M E N T\n"
+    )
+    triples = extract_from_text(text)
+    shapes = {(t[1], t[3], t[4]) for t in triples}
+    assert ("CourtCase", "hasParty", "Petitioner") in shapes
+    assert ("CourtCase", "hasParty", "Respondent") in shapes
+    ruling = [t for t in triples if t[3] == "hasRulingOf"][0]
+    assert ruling[2]["hasCaseID"] == "WRIT PETITION (CIVIL) NO. 123 OF 2020"
+    assert ruling[2]["hasCaseName"] == "Mohan Das Versus State Of Haryana"
+
+
 def test_anchor_gate_is_conservative(spark):
     """The JVM anchor prefilter must never drop a triple-producing page:
     every fixture page (all of which produce triples) passes the gate, and
