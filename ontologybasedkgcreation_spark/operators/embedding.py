@@ -1,0 +1,227 @@
+"""Corpus-trained distributional word embeddings (the real-encoder path of
+the semantic refine pass).
+
+The reference embeds node renderings with an external sentence encoder and
+kNNs them in a vector store (``kg_creator/src/vector_store.py:13``,
+``refine_nodes.py:45-57``); this sandbox has no downloadable model, so the
+engine trains its own distributional embedding FROM THE CORPUS with a
+published, deterministic method: positive-PMI co-occurrence factorization
+(Levy & Goldberg 2014 showed PPMI+SVD is the closed-form equivalent of
+skip-gram word2vec).  Tokens that appear in the same contexts ("apex" and
+"supreme" before "court") land near each other even with zero lexical
+overlap — exactly the alias class the hashing-TF stand-in cannot merge.
+
+Scale shape (100 TB):
+
+- co-occurrence counting is a plain DataFrame job — posexplode tokens,
+  broadcast-join the capped vocabulary, one windowed self-join per document
+  keyed on (doc, position), one groupBy.  Work is O(corpus tokens x window).
+- only the (vocab x vocab) PPMI factorization runs on the driver, and the
+  vocabulary is CAPPED (``max_vocab``, default 2000) — like ``kmeans_fit``,
+  the driver holds model-sized state, never corpus-sized state.  The PPMI
+  matrix is symmetric, so the factorization is one ``numpy.linalg.eigh``
+  (deterministic, no RNG).
+- the trained table (vocab x dim floats, <1 MB) broadcasts to an
+  Arrow-batched embedder stage identical in contract to
+  ``similarity.hashing_feature_vectors``: df(pre_key, norm_identity) ->
+  df(pre_key, embedding) — the hook shape ``refine_pairs_semantic``
+  consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# context-only words that carry no identity signal; identities keep them in
+# the string (normalize_identity preserves them) but the embedder skips them
+EMBED_STOPWORDS = ("of", "the", "and", "a", "an", "in", "on", "for", "to")
+
+
+def token_cooccurrence(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 4,
+    min_count: int = 2,
+    max_vocab: int = 2_000,
+) -> tuple[List[tuple], Dict[str, int]]:
+    """Distributed co-occurrence counting.
+
+    Returns (rows, vocab_counts): rows = [(w, c, n), ...] with w < c (the
+    symmetric half; the factorization mirrors it), vocab_counts = token ->
+    corpus frequency for the capped vocabulary.  Both are vocabulary-sized
+    (driver-safe); the corpus-sized work is all in the DataFrame job."""
+    # doc key = content hash, NOT monotonically_increasing_id: mid() is
+    # evaluated per OUTPUT row, so placed beside a posexplode it would give
+    # every token its own "document" and the windowed self-join would find
+    # zero pairs; the hash is also stable across the join's two branches
+    # (identical texts merging into one key just sums their counts)
+    toks = docs.select(
+        F.xxhash64(F.col(text_col)).alias("doc"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    vocab_df = (
+        counts.filter(
+            (F.col("n") >= min_count)
+            & ~F.col("token").isin(*EMBED_STOPWORDS)
+        )
+        # deterministic cap: highest-frequency tokens, ties by token
+        .orderBy(F.desc("n"), "token")
+        .limit(max_vocab)
+    )
+    vocab_counts = {r["token"]: int(r["n"]) for r in vocab_df.collect()}
+    kept = toks.join(
+        F.broadcast(vocab_df.select("token")), "token", "left_semi"
+    )
+    a = kept.select("doc", F.col("pos").alias("pa"), F.col("token").alias("w"))
+    b = kept.select("doc", F.col("pos").alias("pb"), F.col("token").alias("c"))
+    cooc = (
+        a.join(
+            b,
+            (a["doc"] == b["doc"])
+            & (b["pb"] > a["pa"])
+            & (b["pb"] <= a["pa"] + window),
+        )
+        .groupBy("w", "c")
+        .agg(F.count("*").alias("n"))
+        # fold the two directions onto ordered (w <= c) keys so the driver
+        # table is the symmetric half
+        .select(
+            F.least("w", "c").alias("w"),
+            F.greatest("w", "c").alias("c"),
+            "n",
+        )
+        .groupBy("w", "c")
+        .agg(F.sum("n").alias("n"))
+    )
+    rows = [(r["w"], r["c"], int(r["n"])) for r in cooc.collect()]
+    return rows, vocab_counts
+
+
+def ppmi_vectors(
+    rows: Iterable[tuple],
+    vocab_counts: Dict[str, int],
+    dim: int = 64,
+) -> Dict[str, np.ndarray]:
+    """(w, c, n) half-matrix + marginals -> token -> L2-normalized vector.
+
+    PPMI = max(0, log(p(w,c) / (p(w) p(c)))); the symmetric PPMI matrix is
+    factorized with ``eigh`` (deterministic) and each token keeps the
+    top-``dim`` eigenpairs scaled by sqrt(eigenvalue) — the symmetric SVD
+    embedding of Levy & Goldberg (2014)."""
+    vocab = sorted(vocab_counts)
+    index = {t: i for i, t in enumerate(vocab)}
+    v = len(vocab)
+    if v == 0:
+        return {}
+    M = np.zeros((v, v), dtype=np.float64)
+    marg = np.zeros(v, dtype=np.float64)
+    total = 0.0
+    for w, c, n in rows:
+        i, j = index[w], index[c]
+        M[i, j] += n
+        M[j, i] += n
+        marg[i] += n
+        marg[j] += n
+        total += 2.0 * n
+    if total == 0:
+        return {t: np.zeros(dim, dtype=np.float64) for t in vocab}
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log((M * total) / np.outer(marg, marg))
+    pmi[~np.isfinite(pmi)] = 0.0
+    np.maximum(pmi, 0.0, out=pmi)
+    lam, U = np.linalg.eigh(pmi)  # ascending eigenvalues
+    k = min(dim, v)
+    top = np.argsort(lam)[::-1][:k]
+    lam_top = np.clip(lam[top], 0.0, None)
+    emb = U[:, top] * np.sqrt(lam_top)[None, :]
+    if k < dim:
+        emb = np.pad(emb, ((0, 0), (0, dim - k)))
+    # deterministic sign convention: eigh sign is arbitrary per column —
+    # flip each column so its largest-|.| entry is positive
+    flip = np.sign(emb[np.argmax(np.abs(emb), axis=0), np.arange(dim)])
+    flip[flip == 0] = 1.0
+    emb = emb * flip[None, :]
+    out = {}
+    for t, i in index.items():
+        vec = emb[i]
+        n2 = np.linalg.norm(vec)
+        out[t] = vec / n2 if n2 > 0 else vec
+    return out
+
+
+def train_corpus_embedder(
+    docs: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    window: int = 4,
+    min_count: int = 2,
+    max_vocab: int = 2_000,
+):
+    """Train on a corpus, return the embedder hook for
+    :func:`linking.refine_pairs_semantic`:
+    ``df(pre_key, norm_identity) -> df(pre_key, embedding array<double>)``.
+
+    The whole model is the token-vector table (< vocab x dim x 8 bytes);
+    it broadcasts into one Arrow stage that mean-pools a node identity's
+    token vectors (stopwords and out-of-vocabulary tokens skipped) and
+    L2-normalizes, so downstream SRP-LSH cosine works unchanged."""
+    rows, vocab_counts = token_cooccurrence(
+        docs, text_col, window=window, min_count=min_count, max_vocab=max_vocab
+    )
+    vectors = ppmi_vectors(rows, vocab_counts, dim=dim)
+    return dict_embedder(vectors, dim=dim)
+
+
+def dict_embedder(
+    vectors: Dict[str, np.ndarray],
+    dim: Optional[int] = None,
+    stopwords: tuple = EMBED_STOPWORDS,
+):
+    """token->vector table (any provenance: corpus-trained above, or a
+    vendored external model's rows) -> the refine_pairs_semantic embedder
+    hook.  Mean-pool + L2-normalize per identity string."""
+    if dim is None:
+        dim = len(next(iter(vectors.values()))) if vectors else 64
+    table = {t: np.asarray(v, dtype=np.float64) for t, v in vectors.items()}
+    stop = set(stopwords)
+
+    def embed(df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        id_col, text_col = df.columns[0], df.columns[1]
+
+        def _embed(batches):
+            for pdf in batches:
+                out = []
+                for s in pdf[text_col]:
+                    acc = np.zeros(dim, dtype=np.float64)
+                    k = 0
+                    for t in (s or "").split():
+                        if t in stop:
+                            continue
+                        vec = table.get(t)
+                        if vec is not None:
+                            acc += vec
+                            k += 1
+                    if k:
+                        n2 = np.linalg.norm(acc)
+                        if n2 > 0:
+                            acc /= n2
+                    out.append(acc.tolist())
+                yield pd.DataFrame({id_col: pdf[id_col], "embedding": out})
+
+        return df.mapInPandas(
+            _embed, schema=f"{id_col} string, embedding array<double>"
+        )
+
+    return embed

@@ -607,7 +607,7 @@ def refine_pairs_semantic(
     embedder,
     threshold: float = 0.75,
     bits: int = 64,
-    band_bits: int = 8,
+    band_bits: int = 4,
 ) -> DataFrame:
     """The reference-SHAPED refine pass with a pluggable embedding model
     (``refine_nodes.py:27-96``: real-model ANN kNN + gate): embed each
@@ -619,12 +619,18 @@ def refine_pairs_semantic(
     differing numeral tokens never merge).
 
     ``embedder``: ``df(pre_key, norm_identity) -> df(pre_key, embedding
-    array<float/double>)`` — typically a Pandas-UDF stage calling a real
-    sentence encoder; :func:`similarity.hashing_feature_vectors` is the
-    deterministic in-repo instance (used by the parity test).  This is the
-    operator that closes the semantic-alias gap ("Apex Court" ==
-    "Supreme Court of India") as soon as a model that knows it is plugged
-    in — the dataflow, guards, and scale shape are model-independent."""
+    array<float/double>)`` — :func:`embedding.train_corpus_embedder`
+    (corpus-trained PPMI-SVD, the in-repo REAL model) or any vendored
+    encoder behind :func:`embedding.dict_embedder`;
+    :func:`similarity.hashing_feature_vectors` remains the deterministic
+    lexical instance (used by the parity test).  This is the operator that
+    closes the semantic-alias gap ("Apex Court" == "Supreme Court of
+    India") — exercised end-to-end by test_embedding.
+
+    Default bands are 16 x 4 bits (not the 8 x 8 of the high-threshold
+    near-dup query): at the reference's 0.6 similarity gate a true pair at
+    cosine ~0.7-0.8 survives 4-bit bands with p > 0.997 but 8-bit bands
+    only ~0.5-0.75 — candidate recall, the exact verify is unchanged."""
     from .similarity import cosine_neardup_pairs_lsh
 
     base = linkable.filter(F.col("head_label") != "CourtCase").select(
@@ -687,6 +693,8 @@ def build_graph(
     abbrevs: Optional[Dict[str, str]] = None,
     refine_threshold: Optional[float] = 0.75,
     accept: str = "containment",
+    semantic_embedder=None,
+    semantic_threshold: float = 0.75,
 ) -> Dict[str, DataFrame]:
     """assigned triples -> {nodes, edges, mapping}.
 
@@ -700,6 +708,15 @@ def build_graph(
     subset, recall-exact under the df cap) or 'bm25' (the reference's
     literal "top-1 score > 1 ⇒ adopt" rule, utils.py:363-365, via
     :func:`bm25_adopt_pairs`).
+    ``semantic_embedder``: opt-in REAL-MODEL refine pass (the reference's
+    refine_nodes.py:27-96 behavior class): an embedder hook
+    ``df(pre_key, norm_identity) -> df(pre_key, embedding)`` — e.g.
+    :func:`embedding.train_corpus_embedder` (PPMI-SVD trained on the
+    corpus) or any vendored model behind :func:`embedding.dict_embedder`.
+    When set, :func:`refine_pairs_semantic` pairs (SRP-LSH candidates,
+    exact-cosine >= ``semantic_threshold``, CourtCase/numeral gates) are
+    unioned into the accepted pairs — this is what merges LEXICALLY
+    DISJOINT aliases ("Apex Court" == "Supreme Court of India").
     """
     mentions = mentions_frame(assigned)
 
@@ -717,6 +734,8 @@ def build_graph(
         max_token_df=max_token_df,
         refine_threshold=refine_threshold,
         accept=accept,
+        semantic_embedder=semantic_embedder,
+        semantic_threshold=semantic_threshold,
     )
     nodes_final, mapping = linked["nodes"], linked["mapping"]
 
@@ -757,6 +776,8 @@ def link_nodes(
     max_token_df: int = 1_000,
     refine_threshold: Optional[float] = 0.75,
     accept: str = "containment",
+    semantic_embedder=None,
+    semantic_threshold: float = 0.75,
 ) -> Dict[str, DataFrame]:
     """The linking + consolidation core over a tokenized node frame
     (:func:`tokenized_node_frame`) -> {nodes, mapping}.
@@ -842,6 +863,16 @@ def link_nodes(
         pairs = pairs.unionByName(
             refine_pairs(
                 linkable, threshold=refine_threshold, max_gram_df=max_token_df
+            )
+        )
+
+    # opt-in real-model semantic refine (see build_graph docstring): the
+    # same dataflow as refine_pairs but over MODEL embeddings, so
+    # lexically-disjoint aliases with shared contexts also pair
+    if semantic_embedder is not None:
+        pairs = pairs.unionByName(
+            refine_pairs_semantic(
+                linkable, semantic_embedder, threshold=semantic_threshold
             )
         )
 

@@ -1,0 +1,172 @@
+"""Corpus-trained PPMI-SVD embeddings (operators/embedding.py) — the
+real-encoder path of the semantic refine pass (VERDICT round-3 item 3).
+
+The reference's refine_nodes embeds node renderings with an external model
+and merges kNN hits at cosine >= 0.6 (refine_nodes.py:45-57,
+vector_store.py:13); no model is downloadable in this sandbox, so the
+engine trains a distributional embedding FROM the corpus (Levy & Goldberg
+2014 PPMI factorization).  The gate these tests pin: a lexically-disjoint
+alias pair ("Apex Court" vs "Supreme Court of India") merges in the
+build_graph path with the trained embedder plugged in, and does NOT merge
+without it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+TEMPLATES = [
+    "the {a} delivered the judgment in the appeal today",
+    "the {a} dismissed the petition with costs imposed",
+    "counsel argued before the {a} during the hearing",
+    "the {a} upheld the conviction of the accused person",
+    "the {a} heard the matter and reserved orders",
+]
+
+NOISE = [
+    "the village market sold fresh produce every morning",
+    "a railway station platform was crowded during festivals",
+    "farmers harvested wheat across the northern plains",
+    "the school reopened after the long summer holidays",
+]
+
+
+def _corpus_df(spark):
+    rows = []
+    i = 0
+    for alias in ("apex court", "supreme court of india", "supreme court"):
+        for t in TEMPLATES:
+            rows.append((i, t.format(a=alias)))
+            i += 1
+    for t in NOISE * 2:
+        rows.append((i, t))
+        i += 1
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    from ontologybasedkgcreation_spark.operators.embedding import (
+        ppmi_vectors,
+        token_cooccurrence,
+    )
+
+    docs = _corpus_df(spark)
+    rows, vocab = token_cooccurrence(
+        docs, "text", window=4, min_count=2, max_vocab=500
+    )
+    vectors = ppmi_vectors(rows, vocab, dim=32)
+    return docs, rows, vocab, vectors
+
+
+def test_cooccurrence_counts_are_symmetric_half(trained):
+    _, rows, vocab, _ = trained
+    assert all(w <= c for w, c, _ in rows)
+    assert "the" not in vocab  # stopword excluded from the vocabulary
+    assert "court" in vocab and "apex" in vocab and "supreme" in vocab
+
+
+def test_distributional_similarity_orders_correctly(trained):
+    """Tokens sharing contexts embed close; unrelated tokens don't — and
+    retraining is deterministic (eigh + sign convention, no RNG)."""
+    _, rows, vocab, vectors = trained
+    from ontologybasedkgcreation_spark.operators.embedding import ppmi_vectors
+
+    sim = lambda a, b: float(np.dot(vectors[a], vectors[b]))
+    assert sim("apex", "supreme") > 0.6
+    assert sim("apex", "supreme") > sim("apex", "market") + 0.3
+    assert sim("apex", "supreme") > sim("court", "wheat") + 0.3
+    again = ppmi_vectors(rows, vocab, dim=32)
+    for t, v in vectors.items():
+        assert np.array_equal(v, again[t])
+
+
+def test_embedder_hook_contract(spark, trained):
+    """dict_embedder satisfies the refine_pairs_semantic hook shape:
+    df(pre_key, norm_identity) -> df(pre_key, embedding), L2-normalized,
+    mean-pooled with stopwords skipped."""
+    from ontologybasedkgcreation_spark.operators.embedding import dict_embedder
+
+    _, _, _, vectors = trained
+    emb = dict_embedder(vectors, dim=32)
+    out = emb(
+        spark.createDataFrame(
+            [("k1", "apex court"), ("k2", "supreme court of india"),
+             ("k3", "zzz-unknown-token")],
+            "pre_key string, norm_identity string",
+        )
+    )
+    got = {r["pre_key"]: np.array(r["embedding"]) for r in out.collect()}
+    assert set(got) == {"k1", "k2", "k3"}
+    assert abs(np.linalg.norm(got["k1"]) - 1.0) < 1e-9
+    # identity-level cosine: the alias pair is close, and "of" (stopword)
+    # never contributed — k2 equals the mean of supreme/court/india only
+    cos = float(np.dot(got["k1"], got["k2"]))
+    assert cos > 0.6
+    assert np.allclose(got["k3"], 0.0)  # all-OOV -> zero vector
+
+
+def _assigned(spark, rows):
+    data = [
+        (url, 0, f"t{i}", t1, [t1], p1, rel, t2, [t2], p2)
+        for i, (url, t1, p1, rel, t2, p2) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "url string, span_start long, triple_id string, "
+        "node1_type string, node1_labels array<string>, "
+        "node1_props map<string,string>, relationship string, "
+        "node2_type string, node2_labels array<string>, "
+        "node2_props map<string,string>",
+    )
+
+
+def test_semantic_refine_merges_lexically_disjoint_alias(spark, trained):
+    """THE closing gate for the round-3 'real encoder' item: with the
+    corpus-trained embedder passed to the DEFAULT build_graph path, 'Apex
+    Court' and 'Supreme Court of India' (zero containment, below the
+    lexical refine threshold) consolidate into ONE Court node at the
+    reference's 0.6 gate — and stay two nodes without the embedder."""
+    from ontologybasedkgcreation_spark.operators import linking
+    from ontologybasedkgcreation_spark.operators.embedding import dict_embedder
+
+    _, _, _, vectors = trained
+    embedder = dict_embedder(vectors, dim=32)
+
+    case1 = {"hasCaseID": "Criminal Appeal No. 1 Of 2015",
+             "hasCaseName": "A Versus B"}
+    case2 = {"hasCaseID": "Criminal Appeal No. 2 Of 2016",
+             "hasCaseName": "C Versus D"}
+    rows = [
+        ("u1", "CourtCase", case1, "hasRulingOf", "Court",
+         {"courtName": "Supreme Court of India"}),
+        ("u2", "CourtCase", case2, "hasRulingOf", "Court",
+         {"courtName": "Apex Court"}),
+    ]
+    assigned = _assigned(spark, rows)
+
+    base = linking.build_graph(assigned)
+    assert (
+        base["nodes"].filter(F.col("head_label") == "Court").count() == 2
+    )
+
+    merged = linking.build_graph(
+        assigned, semantic_embedder=embedder, semantic_threshold=0.6
+    )
+    courts = merged["nodes"].filter(F.col("head_label") == "Court").collect()
+    assert len(courts) == 1
+    # consolidation keeps the longest courtName value (raw synthetic props
+    # here — titlecasing happens upstream in the real pipeline)
+    assert courts[0]["props"]["courtName"] == "Supreme Court of India"
+    # the CourtCase nodes must NOT merge (distinct cases, CourtCase never
+    # fuzzy-merges)
+    assert (
+        merged["nodes"].filter(F.col("head_label") == "CourtCase").count()
+        == 2
+    )
+    # edges rewired onto the single Court node
+    court_key = courts[0]["node_key"]
+    dsts = {r["dst_key"] for r in merged["edges"].collect()}
+    assert dsts == {court_key}
