@@ -480,6 +480,75 @@ def bm25_adopt_pairs(
     )
 
 
+def gram_candidates(
+    base: DataFrame,
+    max_gram_df: int = 1_000,
+    n_probe: int = 3,
+    probe_df_cap: int = 64,
+) -> DataFrame:
+    """(a, b) refine candidates: char-3gram inverted index (df band
+    [2, max_gram_df]) probed with each node's ``n_probe`` rarest grams.
+
+    ``probe_df_cap`` bounds the volume HARD: only grams with df <=
+    probe_df_cap may serve as probes, so candidates <= n_probe x
+    probe_df_cap per node no matter how pathological the corpus.  A node
+    with no gram under the cap has no DISTINCTIVE substring at all — a
+    typo/reorder alias of a distinctive identity always shares the rare
+    grams of its distinctive region, which is what this pass exists for;
+    non-distinctive near-identical bags are containment's and the
+    semantic pass's job.  Measured on the 200k-node adversarial frame
+    (scripts/skew_bench.py): uncapped probes generated 155M candidates
+    (777/node, 394 s refine); the cap holds the same fixture recall with
+    candidates bounded at 192/node."""
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("norm_identity") - 2, F.lit(1))
+            ),
+            lambda i: F.col("norm_identity").substr(i, F.lit(3)),
+        )
+    )
+    g = base.select("labels_str", "pre_key", F.explode(grams_arr).alias("gram"))
+    gdf = g.groupBy("labels_str", "gram").agg(F.count("*").alias("df"))
+    # df=1 grams can only ever match their own node — they are useless both
+    # as probes AND as index entries, so the band is [2, max_gram_df]
+    g = g.join(
+        gdf.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)),
+        ["labels_str", "gram"],
+    )
+    # top-n_probe by (df, gram) == sorted collect_list slice: grams are
+    # per-node distinct and few (identity strings are short), so the agg
+    # buffer is tiny and partial-aggregates map-side — no full-sort window
+    probe = (
+        g.filter(F.col("df") <= probe_df_cap)
+        .groupBy("pre_key")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("df", "gram", "labels_str"))
+                ),
+                1,
+                n_probe,
+            ).alias("top")
+        )
+        .select(F.col("pre_key").alias("p"), F.explode("top").alias("m"))
+        .select(
+            F.col("m.labels_str").alias("labels_str"),
+            F.col("m.gram").alias("gram"),
+            "p",
+        )
+    )
+    return (
+        probe.join(
+            g.select("labels_str", "gram", F.col("pre_key").alias("q")),
+            ["labels_str", "gram"],
+        )
+        .filter(F.col("p") != F.col("q"))
+        .select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))
+        .distinct()
+    )
+
+
 def refine_pairs(
     linkable: DataFrame,
     threshold: float = 0.75,
@@ -518,52 +587,7 @@ def refine_pairs(
             F.filter(F.col("tokens"), lambda t: t.rlike("[0-9]"))
         ).alias("num_toks"),
     )
-    grams_arr = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length("norm_identity") - 2, F.lit(1))
-            ),
-            lambda i: F.col("norm_identity").substr(i, F.lit(3)),
-        )
-    )
-    g = base.select("labels_str", "pre_key", F.explode(grams_arr).alias("gram"))
-    gdf = g.groupBy("labels_str", "gram").agg(F.count("*").alias("df"))
-    # df=1 grams can only ever match their own node — they are useless both
-    # as probes AND as index entries, so the band is [2, max_gram_df]
-    g = g.join(
-        gdf.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)),
-        ["labels_str", "gram"],
-    )
-    # top-n_probe by (df, gram) == sorted collect_list slice: grams are
-    # per-node distinct and few (identity strings are short), so the agg
-    # buffer is tiny and partial-aggregates map-side — no full-sort window
-    probe = (
-        g.groupBy("pre_key")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("df", "gram", "labels_str"))
-                ),
-                1,
-                n_probe,
-            ).alias("top")
-        )
-        .select(F.col("pre_key").alias("p"), F.explode("top").alias("m"))
-        .select(
-            F.col("m.labels_str").alias("labels_str"),
-            F.col("m.gram").alias("gram"),
-            "p",
-        )
-    )
-    cand = (
-        probe.join(
-            g.select("labels_str", "gram", F.col("pre_key").alias("q")),
-            ["labels_str", "gram"],
-        )
-        .filter(F.col("p") != F.col("q"))
-        .select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))
-        .distinct()
-    )
+    cand = gram_candidates(base, max_gram_df=max_gram_df, n_probe=n_probe)
     # feature vectors only for nodes that actually appear in a candidate
     # pair (Python work bounded by candidate volume, not corpus size)
     keys = (
@@ -658,6 +682,61 @@ def refine_pairs_semantic(
         pairs.join(na, "a")
         .join(nb, "b")
         .filter(F.col("na") == F.col("nb"))
+        .select("a", "b")
+    )
+
+
+def containment_candidates(tok: DataFrame) -> DataFrame:
+    """(a, b) candidate pairs from the asymmetric rarest-token probe over a
+    df-capped token index (labels_str, pre_key, token, df).
+
+    Candidate volume is Σ over nodes of df(rarest surviving token) — the
+    skew bound the stress bench measures (scripts/skew_bench.py): a head
+    entity's shared tokens exceed the df cap and leave the index entirely,
+    so hot blocks can never go quadratic; the worst remaining case is a
+    node whose RAREST token is still mid-frequency (bag with no
+    distinguishing token), bounded by ``max_token_df`` candidates/node.
+
+    Rarest token per node is a rank-1-only window == struct MIN — orders by
+    (df, token) exactly like the window's orderBy but aggregates with
+    map-side combine (shuffle volume |nodes| per mapper, no full sort of
+    the token table).  Tokens are per-node distinct (array_except is a set
+    op), so no ties beyond the token ordering itself."""
+    probe = (
+        tok.groupBy("pre_key")
+        .agg(F.min(F.struct("df", "token", "labels_str")).alias("m"))
+        .select(
+            F.col("m.labels_str").alias("labels_str"),
+            F.col("m.token").alias("token"),
+            F.col("pre_key").alias("p"),
+        )
+    )
+    return (
+        probe.join(
+            tok.select("labels_str", "token", F.col("pre_key").alias("q")),
+            ["labels_str", "token"],
+        )
+        .filter(F.col("p") != F.col("q"))
+        .select(F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b"))
+        .distinct()
+    )
+
+
+def containment_pairs(tok: DataFrame) -> DataFrame:
+    """Accepted containment pairs: candidates whose smaller token set is
+    fully contained in the larger (recall-exact under the df cap)."""
+    cand = containment_candidates(tok)
+    ta = tok.select(F.col("pre_key").alias("a"), "token")
+    tb = tok.select(F.col("pre_key").alias("b"), "token")
+    shared = (
+        cand.join(ta, "a").join(tb, ["b", "token"]).groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes = tok.groupBy("pre_key").agg(F.count("*").alias("ntok"))
+    return (
+        shared.join(sizes.withColumnRenamed("pre_key", "a").withColumnRenamed("ntok", "na"), "a")
+        .join(sizes.withColumnRenamed("pre_key", "b").withColumnRenamed("ntok", "nb"), "b")
+        .filter(F.col("shared") == F.least(F.col("na"), F.col("nb")))
         .select("a", "b")
     )
 
@@ -815,45 +894,7 @@ def link_nodes(
     if accept == "bm25":
         pairs = bm25_adopt_pairs(tok).select("a", "b")
     else:
-        # rarest token per node: a rank-1-only window is just a MIN — the
-        # struct min orders by (df, token) exactly like the window's
-        # orderBy, but aggregates with map-side combine (shuffle volume
-        # |nodes| per mapper, no full sort of the token table).  tokens are
-        # per-node distinct (array_except is a set op), so no ties beyond
-        # the token ordering itself.
-        probe = (
-            tok.groupBy("pre_key")
-            .agg(F.min(F.struct("df", "token", "labels_str")).alias("m"))
-            .select(
-                F.col("m.labels_str").alias("labels_str"),
-                F.col("m.token").alias("token"),
-                F.col("pre_key").alias("p"),
-            )
-        )
-        cand = (
-            probe.join(
-                tok.select("labels_str", "token", F.col("pre_key").alias("q")),
-                ["labels_str", "token"],
-            )
-            .filter(F.col("p") != F.col("q"))
-            .select(
-                F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
-            )
-            .distinct()
-        )
-        ta = tok.select(F.col("pre_key").alias("a"), "token")
-        tb = tok.select(F.col("pre_key").alias("b"), "token")
-        shared = (
-            cand.join(ta, "a").join(tb, ["b", "token"]).groupBy("a", "b")
-            .agg(F.count("*").alias("shared"))
-        )
-        sizes = tok.groupBy("pre_key").agg(F.count("*").alias("ntok"))
-        pairs = (
-            shared.join(sizes.withColumnRenamed("pre_key", "a").withColumnRenamed("ntok", "na"), "a")
-            .join(sizes.withColumnRenamed("pre_key", "b").withColumnRenamed("ntok", "nb"), "b")
-            .filter(F.col("shared") == F.least(F.col("na"), F.col("nb")))
-            .select("a", "b")
-        )
+        pairs = containment_pairs(tok)
 
     # R2: similarity-driven refine pass (reference refine_nodes.py:27-96) —
     # catches non-containment aliases (token reorders, typos).  Duplicate

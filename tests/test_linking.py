@@ -273,3 +273,84 @@ def test_semantic_refine_merges_model_known_alias(spark):
         for r in linking.refine_pairs_semantic(nodes, embedder).collect()
     }
     assert pairs == {tuple(sorted(("k0", "k1")))}
+
+
+# ---------------------------------------------------------------------------
+# head-entity skew: candidate-volume bounds (round-3 VERDICT item 4)
+# ---------------------------------------------------------------------------
+
+
+def _hot_node_frame(spark, n_hot=300, n_pairs=20):
+    """A head-entity skew fixture: n_hot nodes all sharing the hot tokens
+    (state, skewland) with NO distinguishing rare token (the worst case for
+    the rarest-token probe), plus n_pairs planted containment alias pairs
+    over df=2 tokens."""
+    from pyspark.sql import functions as F
+
+    from ontologybasedkgcreation_spark.operators.linking import (
+        tokenized_node_frame,
+    )
+
+    rows = []
+    for i in range(n_hot):
+        # every token hot: df(state)=df(skewland)=n_hot, df(z*)=n_hot/3
+        rows.append((f"h{i:04d}", f"state of skewland zone z{i % 3}"))
+    for i in range(n_pairs):
+        rows.append((f"pa{i:04d}", f"office branch b{i}"))
+        rows.append((f"pb{i:04d}", f"office branch b{i} annex{i}"))
+    df = spark.createDataFrame(rows, "pre_key string, identity string").select(
+        F.lit("Entity").alias("labels_str"),
+        F.lit("Entity").alias("head_label"),
+        "pre_key",
+        F.create_map(F.lit("name"), F.col("identity")).alias("props"),
+        "identity",
+        F.array(F.lit("Entity")).alias("labels"),
+    )
+    return tokenized_node_frame(df, abbrevs={})
+
+
+def test_df_cap_bounds_candidate_volume(spark):
+    """The skew discipline of SURVEY §4, pinned: with the df cap, a
+    300-node hot block whose bags have no rare token contributes ZERO
+    candidates (its tokens leave the index), so candidate volume is bounded
+    by the planted rare-token pairs — while the uncapped index goes
+    quadratic on the same input.  scripts/skew_bench.py carries the
+    200k-node wall-clock evidence; this is the correctness pin."""
+    from pyspark.sql import functions as F
+
+    from ontologybasedkgcreation_spark.operators.linking import (
+        containment_candidates,
+        link_nodes,
+    )
+
+    nodes0 = _hot_node_frame(spark)
+    tok_all = nodes0.select(
+        "labels_str", "pre_key", F.explode("tokens").alias("token")
+    )
+    tok_df = tok_all.groupBy("labels_str", "token").agg(
+        F.count("*").alias("df")
+    )
+
+    def cands(cap):
+        tok = tok_all.join(
+            tok_df.filter(F.col("df") <= cap), ["labels_str", "token"]
+        )
+        return containment_candidates(tok)
+
+    capped = cands(50)
+    # hot-block nodes generate no candidates at all; only the planted pairs
+    # (df=2 b-tokens) and office/branch-probe hits (df=40 <= cap) remain
+    # (the z-blocks at df=100 sit ABOVE the 50 cap and leave the index)
+    n_capped = capped.count()
+    assert 20 <= n_capped <= 40 * 41
+    assert capped.filter(F.col("a").startswith("h")).count() == 0
+    # uncapped: the z-blocks (df=100) pair quadratically within each block
+    assert cands(10**9).count() > 300 * 40
+
+    # recall canary: the cap must not cost the planted merges
+    mapping = link_nodes(nodes0, max_token_df=50, refine_threshold=None)[
+        "mapping"
+    ]
+    m = {r["pre_key"]: r["node_key"] for r in mapping.collect()}
+    for i in range(20):
+        assert m[f"pa{i:04d}"] == m[f"pb{i:04d}"], i
