@@ -124,6 +124,34 @@ def main() -> int:
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # cross-batch reconcile (streaming maintenance's periodic global
+    # reduce): 2-batch incremental build (untimed setup), timed reconcile —
+    # the full N-batch vs single-shot comparison is scripts/reconcile_bench.py
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
+    from ontologybasedkgcreation_spark.streaming import ingest
+
+    rec_base = tempfile.mkdtemp(prefix="bench_reconcile_")
+    try:
+        writer = GraphWriter(os.path.join(rec_base, "graph"), buckets=32)
+        rec_pages = fixtures.pages_df_distributed(
+            spark, 10_000, partitions=int(CPUS)
+        )
+        for b in range(2):
+            part = rec_pages.filter(SF.pmod(SF.xxhash64("url"), SF.lit(2)) == b)
+            rout = pipeline.run_pipeline(spark, part, with_paragraphs=False)
+            writer.merge("nodes", rout["nodes"], key="node_key")
+            writer.merge("edges", rout["edges"], key="url")
+        t0 = time.time()
+        ingest.reconcile_graph(spark, writer)
+        timings["reconcile"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(rec_base, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
