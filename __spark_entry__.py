@@ -556,14 +556,19 @@ def q_case_metadata(spark, sf_dir):
     """E4: the per-document CaseMetadata record operator
     (materialize.case_metadata_records — CaseMetadataParser fields,
     reference output_parser.py:22-31) run over a synthetic assigned-triples
-    frame derived from `documents`: one real header triple per doc plus two
-    decoys (a cited-prior row with no hasCaseName, and a later-span duplicate
-    header) that the operator must reject."""
+    frame derived from `documents`.  Per doc: a header triple (UN-named for
+    every 10th doc — simulating a court-name grammar miss), two decoys the
+    operator must reject (a cited-prior row with no hasCaseName, a
+    later-span duplicate header), and a hasParty row carrying the
+    document's own case — the round-4 tier-1 fallback: for named docs the
+    header wins over it; for the every-10th unnamed docs the hasParty row
+    must win (own case id + name, EMPTY court) instead of a decoy."""
     from ontologybasedkgcreation_spark.operators import materialize
 
     d = _doc(spark, sf_dir, "documents")
+    named = F.col("doc_id") % 10 != 0
 
-    def mk(span, cid, cname):
+    def mk(span, cid, cname, rel="hasRulingOf"):
         return d.select(
             F.col("doc_id").cast("string").alias("url"),
             F.lit(span).cast("long").alias("span_start"),
@@ -574,17 +579,22 @@ def q_case_metadata(spark, sf_dir):
             F.create_map(
                 F.lit("hasCaseID"), cid, F.lit("hasCaseName"), cname
             ).alias("node1_props"),
-            F.lit("hasRulingOf").alias("relationship"),
+            F.lit(rel).alias("relationship"),
             F.create_map(F.lit("courtName"), F.col("source")).alias(
                 "node2_props"
             ),
         )
 
     did = F.col("doc_id").cast("string")
+    own_id = F.concat(F.lit("case-"), did)
+    own_name = F.concat(F.lit("In Re "), did)
     assigned = (
-        mk(5, F.concat(F.lit("case-"), did), F.concat(F.lit("In Re "), did))
+        mk(5, own_id, F.when(named, own_name).otherwise(F.lit("")))
         .unionByName(mk(0, F.lit("prior-case"), F.lit("")))  # cited prior
-        .unionByName(mk(9, F.lit("late"), F.lit("Late Name")))  # later span
+        .unionByName(  # later-span named decoy (named docs only)
+            mk(9, F.lit("late"), F.when(named, F.lit("Late Name")).otherwise(F.lit("")))
+        )
+        .unionByName(mk(7, own_id, own_name, rel="hasParty"))  # tier-1 row
     )
     rec = materialize.case_metadata_records(assigned)
     return rec.select(
@@ -593,6 +603,22 @@ def q_case_metadata(spark, sf_dir):
         "hasCourtName",
         "hasCaseName",
     )
+
+
+def q_cooccur(spark, sf_dir):
+    """The distributed half of corpus-embedder training
+    (embedding.cooccurrence_frame): windowed token co-occurrence counts
+    over a deterministically-capped vocabulary — one posexplode, one
+    broadcast vocab semi-join, one windowed per-document self-join, one
+    groupBy.  Fully SQL-expressible, so the driver value-hashes it."""
+    from ontologybasedkgcreation_spark.operators.embedding import (
+        cooccurrence_frame,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    return cooccurrence_frame(
+        d, "text", window=4, min_count=5, max_vocab=200, id_col="doc_id"
+    ).select("w", "c", F.col("n").cast("long").alias("n"))
 
 
 def q_media_bytes(spark, sf_dir):
@@ -749,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
+        "cooccur": q_cooccur,
         "media_bytes": q_media_bytes,
         "stream_dedup": q_stream_dedup,
         "stream_window": q_stream_window,
@@ -783,6 +810,14 @@ WITH sh AS (
 """
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _embed_sw() -> str:
+    from ontologybasedkgcreation_spark.operators.embedding import (
+        EMBED_STOPWORDS,
+    )
+
+    return ", ".join(f"'{s}'" for s in EMBED_STOPWORDS)
 
 
 def _onto_values() -> str:
@@ -1187,12 +1222,41 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        CAST(count(*) AS BIGINT) AS n_members
 FROM customer GROUP BY c_nationkey
 """,
+        # case_metadata: named docs elect the span-5 named header (court =
+        # source); every 10th doc has NO named hasRulingOf, so the tier-1
+        # hasParty row wins — own id + name, EMPTY court
         "case_metadata": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        'case-' || CAST(doc_id AS VARCHAR) AS hasCaseID,
-       source AS hasCourtName,
+       CASE WHEN doc_id % 10 <> 0 THEN source ELSE '' END AS hasCourtName,
        'In Re ' || CAST(doc_id AS VARCHAR) AS hasCaseName
 FROM documents
+""",
+        # cooccur: windowed co-occurrence over the capped vocabulary —
+        # positions via LATERAL generate_series (1-based), the same
+        # (min_count=5, stopwords out, top-200 by (n desc, token)) vocab
+        # rule, directed window join folded onto ordered (w <= c) keys
+        "cooccur": f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), toks AS (
+  SELECT doc_id AS doc, i AS pos, toks[i] AS token
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+), counts AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+), vocab AS (
+  SELECT token FROM counts
+  WHERE n >= 5 AND token NOT IN ({_embed_sw()})
+  ORDER BY n DESC, token LIMIT 200
+), kept AS (
+  SELECT doc, pos, token FROM toks JOIN vocab USING (token)
+)
+SELECT least(a.token, b.token) AS w,
+       greatest(a.token, b.token) AS c,
+       CAST(count(*) AS BIGINT) AS n
+FROM kept a JOIN kept b
+  ON a.doc = b.doc AND b.pos > a.pos AND b.pos <= a.pos + 4
+GROUP BY 1, 2
 """,
         "media_bytes": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -41,6 +41,97 @@ from pyspark.sql import functions as F
 EMBED_STOPWORDS = ("of", "the", "and", "a", "an", "in", "on", "for", "to")
 
 
+def vocab_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_vocab: int = 2_000,
+) -> DataFrame:
+    """(token, n): the capped vocabulary — min corpus frequency, stopwords
+    out, deterministically capped to the top ``max_vocab`` by (n desc,
+    token)."""
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(
+            (F.col("n") >= min_count)
+            & ~F.col("token").isin(*EMBED_STOPWORDS)
+        )
+        .orderBy(F.desc("n"), "token")
+        .limit(max_vocab)
+    )
+
+
+def cooccurrence_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 4,
+    min_count: int = 2,
+    max_vocab: int = 2_000,
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """(w, c, n) with w <= c: windowed co-occurrence counts over the capped
+    vocabulary — the distributed half of embedder training, also exposed as
+    the oracle-checked ``cooccur`` driver query (one posexplode, one
+    broadcast vocab semi-join, one windowed self-join per document, one
+    groupBy).
+
+    ``id_col``: unique document key if the corpus has one.  Default (None)
+    keys by content hash — NOT monotonically_increasing_id: mid() is
+    evaluated per OUTPUT row, so placed beside a posexplode it would give
+    every token its own "document" and the windowed self-join would find
+    zero pairs.  Caveat of the hash default: byte-identical duplicate
+    documents collapse onto one key, and the self-join then pairs their
+    token streams with each other (d copies contribute d² directed matches
+    instead of d) — pass ``id_col`` when exact counts over a
+    duplicate-bearing corpus matter."""
+    vocab_df = vocab_frame(docs, text_col, min_count, max_vocab)
+    doc_key = (
+        F.col(id_col) if id_col is not None else F.xxhash64(F.col(text_col))
+    )
+    toks = docs.select(
+        doc_key.alias("doc"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "token"),
+    )
+    kept = toks.join(
+        F.broadcast(vocab_df.select("token")), "token", "left_semi"
+    )
+    a = kept.select("doc", F.col("pos").alias("pa"), F.col("token").alias("w"))
+    b = kept.select("doc", F.col("pos").alias("pb"), F.col("token").alias("c"))
+    return (
+        a.join(
+            b,
+            (a["doc"] == b["doc"])
+            & (b["pb"] > a["pa"])
+            & (b["pb"] <= a["pa"] + window),
+        )
+        .groupBy("w", "c")
+        .agg(F.count("*").alias("n"))
+        # fold the two directions onto ordered (w <= c) keys so the table
+        # is the symmetric half
+        .select(
+            F.least("w", "c").alias("w"),
+            F.greatest("w", "c").alias("c"),
+            "n",
+        )
+        .groupBy("w", "c")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 def token_cooccurrence(
     docs: DataFrame,
     text_col: str = "text",
@@ -54,55 +145,11 @@ def token_cooccurrence(
     symmetric half; the factorization mirrors it), vocab_counts = token ->
     corpus frequency for the capped vocabulary.  Both are vocabulary-sized
     (driver-safe); the corpus-sized work is all in the DataFrame job."""
-    # doc key = content hash, NOT monotonically_increasing_id: mid() is
-    # evaluated per OUTPUT row, so placed beside a posexplode it would give
-    # every token its own "document" and the windowed self-join would find
-    # zero pairs; the hash is also stable across the join's two branches
-    # (identical texts merging into one key just sums their counts)
-    toks = docs.select(
-        F.xxhash64(F.col(text_col)).alias("doc"),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("pos", "token"),
-    )
-    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
-    vocab_df = (
-        counts.filter(
-            (F.col("n") >= min_count)
-            & ~F.col("token").isin(*EMBED_STOPWORDS)
-        )
-        # deterministic cap: highest-frequency tokens, ties by token
-        .orderBy(F.desc("n"), "token")
-        .limit(max_vocab)
-    )
-    vocab_counts = {r["token"]: int(r["n"]) for r in vocab_df.collect()}
-    kept = toks.join(
-        F.broadcast(vocab_df.select("token")), "token", "left_semi"
-    )
-    a = kept.select("doc", F.col("pos").alias("pa"), F.col("token").alias("w"))
-    b = kept.select("doc", F.col("pos").alias("pb"), F.col("token").alias("c"))
-    cooc = (
-        a.join(
-            b,
-            (a["doc"] == b["doc"])
-            & (b["pb"] > a["pa"])
-            & (b["pb"] <= a["pa"] + window),
-        )
-        .groupBy("w", "c")
-        .agg(F.count("*").alias("n"))
-        # fold the two directions onto ordered (w <= c) keys so the driver
-        # table is the symmetric half
-        .select(
-            F.least("w", "c").alias("w"),
-            F.greatest("w", "c").alias("c"),
-            "n",
-        )
-        .groupBy("w", "c")
-        .agg(F.sum("n").alias("n"))
-    )
+    vocab_counts = {
+        r["token"]: int(r["n"])
+        for r in vocab_frame(docs, text_col, min_count, max_vocab).collect()
+    }
+    cooc = cooccurrence_frame(docs, text_col, window, min_count, max_vocab)
     rows = [(r["w"], r["c"], int(r["n"])) for r in cooc.collect()]
     return rows, vocab_counts
 
