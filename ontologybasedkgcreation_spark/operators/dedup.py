@@ -239,8 +239,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokens per doc, majority ``2*sum >= n``, empty doc -> 0)."""
 
     def _sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             n = len(pdf)
@@ -260,17 +258,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 uniq, inv = np.unique(
                     tdf["t"].to_numpy(), return_inverse=True
                 )
-                hu = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
-                        )
-                        for t in uniq
-                    ),
-                    dtype=np.uint64,
-                    count=len(uniq),
-                )
-                hs = hu[inv]
+                hs = hash_tokens_u64(uniq)[inv]
                 r = tdf["r"].to_numpy()
                 bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
                 acc = np.zeros((n, 64), dtype=np.int64)
@@ -297,6 +285,36 @@ def hash_token(tok: str) -> int:
     return int.from_bytes(
         hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
     )
+
+
+# Cross-batch token-hash cache: Spark reuses executor Python workers, and
+# natural-language token/3-gram vocabularies repeat heavily across Arrow
+# batches — after the first batches, md5 (the dominant residual Python
+# cost of the vectorized stages) degrades to a dict lookup.  Bounded;
+# cleared wholesale on overflow (values are pure functions of the key, so
+# eviction only costs recomputation).
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 19
+
+
+def hash_tokens_u64(tokens) -> "np.ndarray":
+    """Vectorized :func:`hash_token` over a sequence of (ideally unique)
+    tokens -> uint64 array, through the cross-batch cache."""
+    import hashlib
+
+    cache = _TOKEN_HASH_CACHE
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        v = cache.get(t)
+        if v is None:
+            v = int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+            )
+            if len(cache) >= _TOKEN_HASH_CACHE_MAX:
+                cache.clear()
+            cache[t] = v
+        out[i] = v
+    return out
 
 
 def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -138,7 +138,11 @@ def kmeans_fit(
     - update: mean per (cluster, dimension) via ``posexplode`` + one
       groupBy — the only driver traffic per iteration is k*d floats.
     Empty clusters keep their previous centroid.  Returns the centroid
-    list (feed to :func:`assign_clusters` to label a table)."""
+    list (feed to :func:`assign_clusters` to label a table).
+
+    CALLERS SHOULD ``df.cache()`` (or localCheckpoint) THE INPUT: every
+    iteration runs a full assignment pass over ``df``, so an uncached
+    upstream plan is recomputed ``iters`` times."""
     seeds = (
         df.orderBy(id_col)
         .limit(k)
@@ -174,10 +178,10 @@ def hashing_feature_vectors(
     model (the reference embeds node renderings with a 768-dim model,
     utils.py:786-873; the column contract is identical).  Arrow-batched,
     no per-row Python outside the tokenizer."""
-    import hashlib
-
     import numpy as np
     import pandas as pd
+
+    from .dedup import hash_tokens_u64
 
     def _feat(batches):
         for pdf in batches:
@@ -204,21 +208,14 @@ def hashing_feature_vectors(
             ]
             M = np.zeros((n, dim), dtype=np.float64)
             if len(flat):
-                # each DISTINCT token of the batch is hashed ONCE (md5 kept:
-                # the bucket assignment is pinned by merge-behavior tests)
+                # each DISTINCT token of the batch is hashed ONCE through
+                # the cross-batch cache (md5 kept: the bucket assignment is
+                # pinned by merge-behavior tests)
                 uniq, inv = np.unique(
                     np.asarray(flat, dtype=object), return_inverse=True
                 )
-                bu = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
-                        )
-                        % dim
-                        for t in uniq
-                    ),
-                    dtype=np.int64,
-                    count=len(uniq),
+                bu = (hash_tokens_u64(uniq) % np.uint64(dim)).astype(
+                    np.int64
                 )
                 np.add.at(M, (rows, bu[inv]), 1.0)
             norms = np.linalg.norm(M, axis=1)
