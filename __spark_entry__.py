@@ -630,6 +630,90 @@ def q_media_bytes(spark, sf_dir):
     )
 
 
+def _tpch_graph(spark, sf_dir):
+    """customer/nation/region mapped into the engine's node/edge tables —
+    the input shape of the graph-query operators."""
+    c = _doc(spark, sf_dir, "customer")
+    n = _doc(spark, sf_dir, "nation")
+    r = _doc(spark, sf_dir, "region")
+
+    def node(df, prefix, key, label, name):
+        return df.select(
+            F.concat(F.lit(prefix), F.col(key).cast("string")).alias(
+                "node_key"
+            ),
+            F.lit(label).alias("head_label"),
+            F.array(F.lit(label)).alias("labels"),
+            F.create_map(F.lit("name"), F.col(name)).alias("props"),
+        )
+
+    nodes = (
+        node(c, "c:", "c_custkey", "Customer", "c_name")
+        .unionByName(node(n, "n:", "n_nationkey", "Nation", "n_name"))
+        .unionByName(node(r, "r:", "r_regionkey", "Region", "r_name"))
+    )
+
+    def edge(df, rel, src_prefix, src_key, dst_prefix, dst_key):
+        return df.select(
+            F.concat(F.lit(src_prefix), F.col(src_key).cast("string")).alias(
+                "src_key"
+            ),
+            F.lit(rel).alias("relationship"),
+            F.concat(F.lit(dst_prefix), F.col(dst_key).cast("string")).alias(
+                "dst_key"
+            ),
+        )
+
+    edges = edge(c, "inNation", "c:", "c_custkey", "n:", "c_nationkey").unionByName(
+        edge(n, "inRegion", "n:", "n_nationkey", "r:", "n_regionkey")
+    )
+    return nodes, edges
+
+
+def q_graph_match(spark, sf_dir):
+    """Cypher-shaped path-pattern matching over the node/edge tables
+    (graph_query.match_chain — the reference's MATCH (a:L)-[:r]->(b:M)
+    serving surface): Customer -inNation-> Nation -inRegion-> Region with
+    a property-equality filter on the terminal binding."""
+    from ontologybasedkgcreation_spark.operators.graph_query import match_chain
+
+    nodes, edges = _tpch_graph(spark, sf_dir)
+    return match_chain(
+        nodes,
+        edges,
+        [("Customer", "inNation", "Nation"), ("Nation", "inRegion", "Region")],
+        where={2: {"name": "ASIA"}},
+    ).select("n0_key", "n1_key", "n2_key")
+
+
+def q_graph_khop(spark, sf_dir):
+    """Bounded k-hop traversal (graph_query.k_hop): the undirected-inward
+    2-hop neighborhood of the ASIA Region node — nations at hop 1,
+    customers at hop 2, shortest-distance semantics."""
+    from ontologybasedkgcreation_spark.operators.graph_query import k_hop
+
+    nodes, edges = _tpch_graph(spark, sf_dir)
+    start = nodes.filter(
+        (F.col("head_label") == "Region")
+        & (F.element_at("props", F.lit("name")) == "ASIA")
+    ).select("node_key")
+    return k_hop(edges, start, k=2, direction="in").select(
+        "node_key", F.col("hops").cast("long").alias("hops")
+    )
+
+
+def q_graph_labels(spark, sf_dir):
+    """Schema summary (graph_query.label_connections == the reference's
+    get_label_connections, utils.py:30-36): DISTINCT
+    (from_label, rel_type, to_label) over the graph."""
+    from ontologybasedkgcreation_spark.operators.graph_query import (
+        label_connections,
+    )
+
+    nodes, edges = _tpch_graph(spark, sf_dir)
+    return label_connections(nodes, edges)
+
+
 def q_stream_window(spark, sf_dir):
     """The watermarked event-time window aggregation of the streaming
     ingest path (page_rate_metrics) run END-TO-END as a bounded stream:
@@ -776,6 +860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
         "cooccur": q_cooccur,
+        "graph_match": q_graph_match,
+        "graph_khop": q_graph_khop,
+        "graph_labels": q_graph_labels,
         "media_bytes": q_media_bytes,
         "stream_dedup": q_stream_dedup,
         "stream_window": q_stream_window,
@@ -1231,6 +1318,38 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN doc_id % 10 <> 0 THEN source ELSE '' END AS hasCourtName,
        'In Re ' || CAST(doc_id AS VARCHAR) AS hasCaseName
 FROM documents
+""",
+        # graph_match / graph_khop / graph_labels: the Cypher-shaped query
+        # primitives over customer->nation->region mapped as a graph
+        "graph_match": """
+SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS n0_key,
+       'n:' || CAST(c.c_nationkey AS VARCHAR) AS n1_key,
+       'r:' || CAST(n.n_regionkey AS VARCHAR) AS n2_key
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+""",
+        "graph_khop": """
+SELECT 'r:' || CAST(r_regionkey AS VARCHAR) AS node_key,
+       CAST(0 AS BIGINT) AS hops
+FROM region WHERE r_name = 'ASIA'
+UNION ALL
+SELECT 'n:' || CAST(n_nationkey AS VARCHAR), CAST(1 AS BIGINT)
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+UNION ALL
+SELECT 'c:' || CAST(c_custkey AS VARCHAR), CAST(2 AS BIGINT)
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+""",
+        "graph_labels": """
+SELECT 'Customer' AS from_label, 'inNation' AS rel_type, 'Nation' AS to_label
+WHERE EXISTS (SELECT 1 FROM customer)
+UNION ALL
+SELECT 'Nation', 'inRegion', 'Region'
+WHERE EXISTS (SELECT 1 FROM nation)
 """,
         # cooccur: windowed co-occurrence over the capped vocabulary —
         # positions via LATERAL generate_series (1-based), the same

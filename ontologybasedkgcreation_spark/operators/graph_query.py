@@ -1,0 +1,163 @@
+"""Graph pattern queries over the node/edge tables (the serving-side
+analog of the reference's Cypher surface).
+
+The reference serves its KG from Neo4j: label-filtered path patterns with
+property equality (``MATCH (a:L {p: v})-[:rel]->(b:M) RETURN …`` — the
+shapes its GraphRAG chain generates, ``LegalGraphRag.ipynb`` cells
+1449-1590) and schema summaries (``get_label_connections``,
+``kg_creator/src/utils.py:30-36``).  This module expresses those shapes
+over the engine's ``nodes(node_key, head_label, labels, props)`` /
+``edges(src_key, relationship, dst_key, …)`` tables as plain DataFrame
+plans Catalyst can optimize:
+
+- a chain pattern is a sequence of edge joins with label/property filters
+  pushed onto each node scan (predicate pushdown reaches the parquet scan
+  when the tables are on disk);
+- the node table is usually the small side at query time — hint-broadcast
+  per hop when it fits;
+- ``k_hop`` is frontier expansion with a distinct per round — k bounded
+  joins, never an unbounded traversal.
+
+No NL→query layer is included (the reference's is an LLM call — SURVEY §7
+non-goal); these are the deterministic primitives such a layer targets.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _node_side(
+    nodes: DataFrame,
+    binding: str,
+    label: Optional[str],
+    props: Optional[Dict[str, str]],
+    keep_props: bool,
+) -> DataFrame:
+    n = nodes
+    if label is not None:
+        # any label in the node's label set matches (Cypher `a:Label`
+        # semantics over multi-labeled nodes)
+        n = n.filter(
+            (F.col("head_label") == label)
+            | F.array_contains(F.col("labels"), label)
+        )
+    if props:
+        for k, v in props.items():
+            n = n.filter(F.element_at(F.col("props"), F.lit(k)) == v)
+    cols = [F.col("node_key").alias(f"{binding}_key")]
+    if keep_props:
+        cols += [
+            F.col("head_label").alias(f"{binding}_label"),
+            F.col("props").alias(f"{binding}_props"),
+        ]
+    return n.select(*cols)
+
+
+def match_chain(
+    nodes: DataFrame,
+    edges: DataFrame,
+    chain: Sequence[Tuple[Optional[str], Optional[str], Optional[str]]],
+    where: Optional[Dict[int, Dict[str, str]]] = None,
+    keep_props: bool = False,
+) -> DataFrame:
+    """``MATCH (a0:L0)-[:r0]->(a1:L1)-[:r1]->(a2:L2)…`` as one join plan.
+
+    ``chain``: one ``(src_label, relationship, dst_label)`` triple per hop;
+    consecutive hops share the intermediate binding (hop i's dst IS hop
+    i+1's src — pass consistent labels or None for "any").  ``where``:
+    property-equality filters per binding index (``{0: {"hasCaseID":
+    "…"}}`` — the Cypher ``{prop: value}`` map).  Returns one row per
+    binding of the pattern with columns ``n{i}_key`` (+ ``n{i}_label`` /
+    ``n{i}_props`` when ``keep_props``).
+
+    Each hop is edges filtered on its relationship joined to the
+    label/property-filtered node table; node filters sit on the scan side
+    of the joins, so Catalyst pushes them into the parquet read."""
+    where = where or {}
+    out = _node_side(nodes, "n0", chain[0][0], where.get(0), keep_props)
+    for i, (_, rel, dst_label) in enumerate(chain):
+        e = edges
+        if rel is not None:
+            e = e.filter(F.col("relationship") == rel)
+        e = e.select(
+            F.col("src_key").alias(f"n{i}_key"),
+            F.col("dst_key").alias(f"n{i + 1}_key"),
+        )
+        out = out.join(e, f"n{i}_key")
+        dst = _node_side(
+            nodes, f"n{i + 1}", dst_label, where.get(i + 1), keep_props
+        )
+        out = out.join(dst, f"n{i + 1}_key")
+    return out
+
+
+def k_hop(
+    edges: DataFrame,
+    start_keys: DataFrame,
+    k: int = 2,
+    direction: str = "out",
+) -> DataFrame:
+    """Nodes reachable within k hops of ``start_keys`` (a one-column frame
+    ``node_key``): (node_key, hops) with hops = shortest observed distance
+    in [0, k].  Frontier expansion — k bounded joins with a min-aggregate
+    per round, never an unbounded traversal; ``direction`` 'out' / 'in' /
+    'both' (both = the undirected neighborhood)."""
+    fwd = edges.select(
+        F.col("src_key").alias("u"), F.col("dst_key").alias("v")
+    )
+    rev = edges.select(
+        F.col("dst_key").alias("u"), F.col("src_key").alias("v")
+    )
+    adj = {
+        "out": fwd,
+        "in": rev,
+        "both": fwd.unionByName(rev),
+    }[direction].distinct()
+    seen = start_keys.select(
+        F.col(start_keys.columns[0]).alias("node_key"),
+        F.lit(0).alias("hops"),
+    )
+    frontier = seen
+    for step in range(1, k + 1):
+        nxt = (
+            frontier.join(adj, frontier["node_key"] == adj["u"])
+            .select(F.col("v").alias("node_key"), F.lit(step).alias("hops"))
+            .distinct()
+        )
+        # keep only genuinely new nodes in the frontier (shortest distance);
+        # eager checkpoint bounds the per-round lineage and makes the
+        # emptiness probe cheap
+        frontier = nxt.join(
+            seen.select("node_key"), "node_key", "left_anti"
+        ).localCheckpoint()
+        if not frontier.take(1):
+            break
+        seen = seen.unionByName(frontier)
+    return seen
+
+
+def label_connections(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Schema summary — DISTINCT (from_label, rel_type, to_label), the
+    reference's ``get_label_connections`` (utils.py:30-36): what a
+    query-planning layer (or a human) reads before writing patterns."""
+    s = nodes.select(
+        F.col("node_key").alias("src_key"),
+        F.col("head_label").alias("from_label"),
+    )
+    o = nodes.select(
+        F.col("node_key").alias("dst_key"),
+        F.col("head_label").alias("to_label"),
+    )
+    return (
+        edges.select("src_key", "relationship", "dst_key")
+        .join(s, "src_key")
+        .join(o, "dst_key")
+        .select(
+            "from_label", F.col("relationship").alias("rel_type"), "to_label"
+        )
+        .distinct()
+    )

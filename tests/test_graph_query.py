@@ -1,0 +1,127 @@
+"""Graph pattern queries (operators/graph_query.py) over the engine's own
+KG output — the Cypher-shaped serving primitives (reference: MATCH
+patterns + get_label_connections, utils.py:30-36)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontologybasedkgcreation_spark import fixtures, pipeline
+from ontologybasedkgcreation_spark.operators.graph_query import (
+    k_hop,
+    label_connections,
+    match_chain,
+)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    pages, _ = fixtures.pages_df(spark, 8, non_en_every=0)
+    out = pipeline.run_pipeline(spark, pages, with_paragraphs=False)
+    return out["nodes"].cache(), out["edges"].cache()
+
+
+def test_match_two_hop_chain(spark, graph):
+    """MATCH (c:CourtCase)-[:hasJudge]->(j:Judge)-[:worksIn]->(ct:Court):
+    every binding's endpoints really carry those labels, and every case
+    with a judge appears."""
+    nodes, edges = graph
+    got = match_chain(
+        nodes,
+        edges,
+        [("CourtCase", "hasJudge", "Judge"), ("Judge", "worksIn", "Court")],
+        keep_props=True,
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["n0_label"] == "CourtCase"
+        assert r["n1_label"] == "Judge"
+        assert r["n2_label"] == "Court"
+        assert r["n2_props"]["courtName"]  # the court binding is concrete
+    # completeness: distinct (case, judge) pairs == the hasJudge edges
+    # whose judge has a worksIn edge
+    hj = edges.filter(F.col("relationship") == "hasJudge")
+    wi = edges.filter(F.col("relationship") == "worksIn").select(
+        F.col("src_key").alias("dst_key")
+    )
+    expected = hj.join(wi, "dst_key", "left_semi").count()
+    assert len({(r["n0_key"], r["n1_key"]) for r in got}) == (
+        hj.join(wi, "dst_key", "left_semi")
+        .select("src_key", "dst_key")
+        .distinct()
+        .count()
+    )
+    assert expected > 0
+
+
+def test_match_property_filter(spark, graph):
+    """The {prop: value} equality map restricts bindings to one case."""
+    nodes, edges = graph
+    # pick a case that actually HAS party edges (cited-precedent nodes also
+    # carry hasCaseName but no hasParty)
+    party_src = edges.filter(F.col("relationship") == "hasParty").select(
+        F.col("src_key").alias("node_key")
+    )
+    some_case = (
+        nodes.join(party_src, "node_key", "left_semi")
+        .select(F.element_at("props", F.lit("hasCaseID")).alias("cid"))
+        .first()["cid"]
+    )
+    got = match_chain(
+        nodes,
+        edges,
+        [("CourtCase", "hasParty", None)],
+        where={0: {"hasCaseID": some_case}},
+        keep_props=True,
+    ).collect()
+    assert len(got) > 0
+    assert all(r["n0_props"]["hasCaseID"] == some_case for r in got)
+    assert {r["n1_label"] for r in got} <= {"Appellant", "Respondent",
+                                           "Petitioner"}
+
+
+def test_k_hop_neighborhood(spark, graph):
+    """Undirected 2-hop neighborhood of one CourtCase: hop 1 is exactly its
+    direct edges' endpoints; hops are shortest distances (never > k, start
+    at 0)."""
+    nodes, edges = graph
+    start = (
+        nodes.filter(F.col("head_label") == "CourtCase")
+        .filter(F.element_at("props", F.lit("hasCaseName")).isNotNull())
+        .select("node_key")
+        .limit(1)
+    )
+    start_key = start.first()["node_key"]
+    got = {r["node_key"]: r["hops"] for r in
+           k_hop(edges, start, k=2, direction="both").collect()}
+    assert got[start_key] == 0
+    direct = {
+        r["k"]
+        for r in edges.filter(
+            (F.col("src_key") == start_key) | (F.col("dst_key") == start_key)
+        )
+        .select(
+            F.when(F.col("src_key") == start_key, F.col("dst_key"))
+            .otherwise(F.col("src_key"))
+            .alias("k")
+        )
+        .collect()
+        if r["k"] != start_key
+    }
+    assert {k for k, h in got.items() if h == 1} == direct
+    assert all(0 <= h <= 2 for h in got.values())
+    assert any(h == 2 for h in got.values())
+
+
+def test_label_connections_schema_summary(spark, graph):
+    """get_label_connections parity: the distinct label-pair summary covers
+    exactly the relationship types present in the edge table."""
+    nodes, edges = graph
+    summary = label_connections(nodes, edges).collect()
+    rels = {r["rel_type"] for r in summary}
+    assert rels == {
+        r["relationship"]
+        for r in edges.select("relationship").distinct().collect()
+    }
+    assert ("CourtCase", "hasRulingOf", "Court") in {
+        (r["from_label"], r["rel_type"], r["to_label"]) for r in summary
+    }
