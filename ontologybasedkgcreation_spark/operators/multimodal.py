@@ -3,10 +3,17 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling are
 ``mapInPandas`` stages whose Spark-side contract (schema, batch shape,
-partitioning) is real and tested here, while the actual codec call is stubbed
-(image/audio libraries are not in this container): ``decoder='stub'`` raises
-``NotImplementedError``; ``decoder='fake'`` produces a deterministic fake
-decode (byte-histogram features) so the full pipeline is exercisable.
+partitioning) is real and tested here.
+
+Decoders (round 4): the container has no codec *packages*, but PNG and WAV
+are decodable with the standard library alone — ``decode_png`` implements
+the public PNG spec (zlib-inflate IDAT, per-scanline unfiltering, 8-bit
+gray/RGB/RGBA) and ``decode_wav`` uses the stdlib ``wave`` reader — so
+``decoder='real'`` performs ACTUAL media decode end-to-end, plus
+``resize_nearest`` for real downsampling.  Formats needing external codecs
+(JPEG, video containers) still raise ``NotImplementedError`` at the
+``decode_stub`` integration point; ``decoder='fake'`` remains the
+deterministic byte-histogram double for shape tests.
 
 At 100 TB the payload column dominates I/O: keep it in its own parquet column
 (column pruning skips it unless a decode stage runs), partition by content
@@ -16,6 +23,9 @@ few hundred payloads, not gigabytes.
 
 from __future__ import annotations
 
+import io
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -45,11 +55,200 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Real decoder hook.  Container has no codec libs -> explicit stub."""
+    """Integration point for formats needing external codecs (JPEG, video
+    containers).  PNG/WAV decode is REAL (see decode_png / decode_wav)."""
     raise NotImplementedError(
-        "media decode requires image/audio codecs not present in this "
-        "environment; plug a decoder in here (PIL / torchaudio / pyav)"
+        "decoding this format requires codecs not present in this "
+        "environment (JPEG/video: plug PIL / torchaudio / pyav in here); "
+        "PNG and WAV payloads are decoded natively by decoder='real'"
     )
+
+
+# ---------------------------------------------------------------------------
+# real stdlib decoders (public format specs; no external packages)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (8-bit depth supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8 array, standard library only.
+
+    Implements the public spec for the common web shapes: 8-bit depth,
+    color types gray / RGB / gray+alpha / RGBA, non-interlaced; IDAT
+    chunks are concatenated, zlib-inflated, and the five scanline filters
+    (None/Sub/Up/Average/Paeth) are reversed row by row (vectorized per
+    row except the inherently sequential Sub/Paeth carry)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace} "
+                    "outside the supported 8-bit non-interlaced subset"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 1:  # Sub: left carry, sequential per pixel-sample lag
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        img[y] = cur
+        prev = cur
+    return img.reshape(height, width, ch)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, C) uint8 -> PNG bytes (filter 0 rows) — the deterministic
+    fixture generator for the real decoder's tests."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """WAV bytes -> {samples int16 (n, channels), rate, channels,
+    duration_ms} via the stdlib ``wave`` reader (16-bit PCM)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        n, ch, rate = wf.getnframes(), wf.getnchannels(), wf.getframerate()
+        samples = np.frombuffer(wf.readframes(n), dtype="<i2").reshape(-1, ch)
+    return {
+        "samples": samples,
+        "rate": rate,
+        "channels": ch,
+        "duration_ms": int(round(1000 * n / rate)) if rate else 0,
+    }
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 (n,) or (n, ch) -> WAV bytes — fixture generator."""
+    import wave
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(s.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) array — the real resize
+    stage (pure numpy index maps, no codec needed)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def decode_real(payload: bytes, kind: str) -> np.ndarray:
+    """REAL decode -> 16-dim float32 feature vector.
+
+    - PNG image: [mean/std per up-to-4 channels (scaled 0-1), then an
+      8-bin luminance histogram (L1-normalized)];
+    - WAV audio: [rms, zero-crossing rate, duration_s (capped 1), channels/8,
+      then an 8-bin absolute-amplitude histogram, then 4 zeros];
+    - anything else: the documented NotImplementedError integration point.
+    """
+    out = np.zeros(16, dtype=np.float32)
+    if payload[:8] == _PNG_MAGIC:
+        img = decode_png(payload).astype(np.float32)
+        ch = img.shape[2]
+        for c in range(min(ch, 4)):
+            out[c] = img[..., c].mean() / 255.0
+            out[4 + c] = img[..., c].std() / 255.0
+        lum = img[..., : min(ch, 3)].mean(axis=2)
+        hist = np.histogram(lum, bins=8, range=(0.0, 256.0))[0].astype(
+            np.float32
+        )
+        out[8:16] = hist / max(hist.sum(), 1.0)
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        wav = decode_wav(payload)
+        s = wav["samples"].astype(np.float32) / 32768.0
+        mono = s.mean(axis=1)
+        out[0] = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+        if len(mono) > 1:
+            out[1] = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        out[2] = min(wav["duration_ms"] / 1000.0, 1.0)
+        out[3] = wav["channels"] / 8.0
+        hist = np.histogram(np.abs(mono), bins=8, range=(0.0, 1.0))[0].astype(
+            np.float32
+        )
+        out[8:16] = hist / max(hist.sum(), 1.0)
+        return out
+    return decode_stub(payload, kind)
 
 
 def decode_fake(payload: bytes, kind: str) -> np.ndarray:
@@ -63,10 +262,14 @@ def decode_fake(payload: bytes, kind: str) -> np.ndarray:
 
 
 def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
-    """payload -> feature vector, Arrow-batched.  ``decoder='stub'`` raises
-    (documents the integration point); ``'fake'`` is the deterministic test
-    double."""
-    fn = decode_stub if decoder == "stub" else decode_fake
+    """payload -> feature vector, Arrow-batched.  ``decoder='real'`` runs
+    the stdlib PNG/WAV decoders (unsupported formats raise at the
+    ``decode_stub`` integration point); ``'stub'`` raises for everything
+    (documents the integration point); ``'fake'`` is the deterministic
+    byte-histogram double."""
+    fn = {"stub": decode_stub, "fake": decode_fake, "real": decode_real}[
+        decoder
+    ]
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
