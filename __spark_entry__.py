@@ -714,6 +714,38 @@ def q_graph_labels(spark, sf_dir):
     return label_connections(nodes, edges)
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL image decode under the value-hash gate: per document, a 4x4
+    grayscale PNG whose pixels are a pure function of doc_id
+    ((doc_id*7 + i) % 256) is ENCODED then DECODED through the stdlib PNG
+    implementation (multimodal.encode_png/decode_png — zlib inflate +
+    scanline unfiltering), and the decoded pixel sum is emitted as an
+    exact integer.  The oracle recomputes the sum arithmetically, so any
+    decoder defect breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from ontologybasedkgcreation_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            sums = []
+            for did in pdf["doc_id"]:
+                px = ((int(did) * 7 + np.arange(16)) % 256).astype(np.uint8)
+                img = decode_png(encode_png(px.reshape(4, 4, 1)))
+                sums.append(int(img.sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixel_sum": sums})
+
+    return d.select("doc_id").mapInPandas(
+        _roundtrip, schema="doc_id long, pixel_sum long"
+    )
+
+
 def q_stream_window(spark, sf_dir):
     """The watermarked event-time window aggregation of the streaming
     ingest path (page_rate_metrics) run END-TO-END as a bounded stream:
@@ -863,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_match": q_graph_match,
         "graph_khop": q_graph_khop,
         "graph_labels": q_graph_labels,
+        "media_decode": q_media_decode,
         "media_bytes": q_media_bytes,
         "stream_dedup": q_stream_dedup,
         "stream_window": q_stream_window,
@@ -1380,6 +1413,17 @@ GROUP BY 1, 2
         "media_bytes": """
 SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        'text' AS kind
+FROM documents
+""",
+        # media_decode: the Spark side PNG-encodes then REALLY decodes a
+        # 4x4 gray image whose pixels are (doc_id*7+i)%256; the oracle
+        # computes the same pixel sum arithmetically — a decoder defect
+        # breaks the hash
+        "media_decode": """
+SELECT doc_id,
+       CAST((SELECT sum((doc_id * 7 + i) % 256)
+             FROM unnest(generate_series(0, 15)) AS t(i)) AS BIGINT)
+           AS pixel_sum
 FROM documents
 """,
         # simhash: the 64-bit bit-majority signature recomputed in SQL —
