@@ -11,8 +11,12 @@ over the engine's ``nodes(node_key, head_label, labels, props)`` /
 plans Catalyst can optimize:
 
 - a chain pattern is a sequence of edge joins with label/property filters
-  pushed onto each node scan (predicate pushdown reaches the parquet scan
-  when the tables are on disk);
+  sitting scan-side (evaluated before any join; the relationship equality
+  is a pushable scalar and reaches the parquet reader's PushedFilters —
+  plan-pinned — while the label test is an OR over the labels array and
+  the property test a map access, which parquet cannot push: at 100 TB
+  partition the node table by ``head_label`` so the label restriction
+  becomes a partition prune instead);
 - the node table is usually the small side at query time — hint-broadcast
   per hop when it fits;
 - ``k_hop`` is frontier expansion with a distinct per round — k bounded

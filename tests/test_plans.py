@@ -153,3 +153,48 @@ def test_linking_pair_plan_has_no_sort_windows(spark):
         linked = linking.link_nodes(nodes, accept=accept)
         plan = _plan(linked["mapping"], "simple")
         assert "Window" not in plan, accept
+
+
+def test_graph_match_label_filter_pushed_to_scan(spark, tmp_path):
+    """match_chain's pushable predicates must reach the parquet reader:
+    the relationship equality lands in PushedFilters, and the node label
+    test (an OR over the labels array — not parquet-pushable; the 100 TB
+    answer is head_label partitioning) still evaluates scan-side, directly
+    above the node scan and BEFORE any join."""
+    from ontologybasedkgcreation_spark.operators.graph_query import match_chain
+
+    nodes = spark.createDataFrame(
+        [("k1", "CourtCase", ["CourtCase"], {"hasCaseID": "c1"}),
+         ("k2", "Judge", ["Judge"], {"name": "J"})],
+        "node_key string, head_label string, labels array<string>, "
+        "props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("k1", "hasJudge", "k2")],
+        "src_key string, relationship string, dst_key string",
+    )
+    np_, ep = str(tmp_path / "nodes"), str(tmp_path / "edges")
+    nodes.write.parquet(np_)
+    edges.write.parquet(ep)
+    got = match_chain(
+        spark.read.parquet(np_),
+        spark.read.parquet(ep),
+        [("CourtCase", "hasJudge", "Judge")],
+    )
+    plan = _plan(got)
+    pushed = [
+        seg.splitlines()[0] for seg in plan.split("PushedFilters: ")[1:]
+    ]
+    assert any("EqualTo(relationship,hasJudge)" in p for p in pushed), pushed
+    # label predicate evaluates pre-join: a Filter naming head_label occurs,
+    # and no join operator appears between it and its scan (formatted plans
+    # list Filter(n) holds for the subtree right above Scan(n-1))
+    assert "head_label" in plan
+    filt_sections = [
+        seg for seg in plan.split("Filter ")[1:] if "head_label" in
+        seg.splitlines()[0]
+    ] or [
+        seg for seg in plan.split("+- Filter")[1:] if "head_label" in seg[:300]
+    ]
+    assert filt_sections, plan
+    assert got.count() == 1
