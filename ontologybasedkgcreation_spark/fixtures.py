@@ -45,6 +45,11 @@ WITNESSES: List[Tuple[str, str]] = [
     ("Sunil", "Pandey"),
 ]
 
+INVESTIGATORS: List[Tuple[str, str, str]] = [
+    ("Inspector", "Raghav", "Singh"), ("Sub-Inspector", "Anand", "Kale"),
+    ("Inspector", "Bhushan", "Rao"),
+]
+
 # (canonical full form, abbreviated alias or None)
 STATES: List[Tuple[str, str | None]] = [
     ("State of Madhya Pradesh", "State of M.P."),
@@ -202,6 +207,7 @@ def _page_spec(i: int) -> dict:
         "state_abbrev": state_abbrev,
         "judge": judge,
         "witness": witness,
+        "investigator": INVESTIGATORS[i % len(INVESTIGATORS)],
         "pw": 1 + (i % 9),
         "year": year,
         "with_cases": with_cases,
@@ -273,6 +279,8 @@ def _page_text(s: dict, target_chars: int = 4200) -> str:
         FILLER_SENTENCES[0],
         FILLER_SENTENCES[1],
         f"The prosecution examined {w_first} {w_last} (PW-{s['pw']}) as a witness.",
+        f"The investigation was conducted by {s['investigator'][0]} "
+        f"{s['investigator'][1]} {s['investigator'][2]}.",
         f"The weapon was recovered from {s['place']}.",
         FILLER_SENTENCES[2],
         FILLER_SENTENCES[3],
@@ -357,7 +365,26 @@ def expected_triples(s: dict) -> List[dict]:
             ),
         ),
         (cc, "hasWitness", ("Witness", canon_props({"wFirstName": w_first, "wLastName": w_last}))),
+        (
+            cc,
+            "hasPolicePersonnel",
+            (
+                "Investigator",
+                canon_props(
+                    {
+                        "hasPolicePersonnelName":
+                            f"{s['investigator'][1]} {s['investigator'][2]}",
+                        "hasDesignation": s["investigator"][0],
+                    }
+                ),
+            ),
+        ),
         (cc, "hasEvidence", ("Evidence", canon_props({"evidenceLocation": s["place"]}))),
+        (
+            ("Evidence", canon_props({"evidenceLocation": s["place"]})),
+            "hasEvidenceLoc",
+            ("Place", canon_props({"locationName": s["place"]})),
+        ),
         (
             cc,
             "cited",

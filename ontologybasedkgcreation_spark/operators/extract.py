@@ -102,6 +102,10 @@ _SECTION_RE = re.compile(r"Section (\d+[A-Z]?)")
 _WITNESS_RE = re.compile(r"examined ([A-Z][a-z]+ [A-Z][a-z]+) \(PW-\d+\)")
 _EVIDENCE_RE = re.compile(r"weapon was recovered from ([^.]+?)\.")
 _RELIANCE_RE = re.compile(r"[Rr]eliance was placed on (.+? No\.\S+) decided by the ([^.]+?)\.")
+_INVESTIGATOR_RE = re.compile(
+    r"investigation was conducted by ((?:Sub-)?Inspector) "
+    r"([A-Z][a-z]+ [A-Z][a-z]+)"
+)
 _ARGUMENT_RE = re.compile(r"Counsel for the (.+?) submitted that ([^.]+?)\.")
 _OPINION_RE = re.compile(r"([A-Z][a-z]+), J\. observed that ([^.]+?)\.")
 _DOJ_RE = re.compile(r"judgment was delivered on (\d{1,2}) ([A-Z][a-z]+) (\d{4})")
@@ -245,9 +249,26 @@ def extract_from_text(text: str) -> List[Triple]:
                  "Witness", _s(m.group(1)))
             )
         for m in _EVIDENCE_RE.finditer(text):
+            loc = m.group(1).strip()
             triples.append(
                 (m.start(), "CourtCase", dict(primary), "hasEvidence",
-                 "Evidence", {"evidenceLocation": m.group(1).strip()})
+                 "Evidence", {"evidenceLocation": loc})
+            )
+            # the recovery site is also a Location node (ontology:
+            # Evidence-hasEvidenceLoc->Location, Place is_a Location)
+            triples.append(
+                (m.start(), "Evidence", {"evidenceLocation": loc},
+                 "hasEvidenceLoc", "Place", _s(loc))
+            )
+        # CourtCase-hasPolicePersonnel->Investigator (prompt spec space:
+        # prompts.py:122; datatype props hasPolicePersonnelName +
+        # hasDesignation)
+        for m in _INVESTIGATOR_RE.finditer(text):
+            triples.append(
+                (m.start(), "CourtCase", dict(primary), "hasPolicePersonnel",
+                 "Investigator",
+                 {"hasPolicePersonnelName": m.group(2),
+                  "hasDesignation": m.group(1)})
             )
         for m in _RELIANCE_RE.finditer(text):
             prior = {"hasCaseID": m.group(1).strip()}
