@@ -50,6 +50,11 @@ INVESTIGATORS: List[Tuple[str, str, str]] = [
     ("Inspector", "Bhushan", "Rao"),
 ]
 
+CATCHWORDS: List[str] = [
+    "murder", "circumstantial evidence", "last seen theory",
+    "recovery of weapon", "benefit of doubt", "dying declaration",
+]
+
 # (canonical full form, abbreviated alias or None)
 STATES: List[Tuple[str, str | None]] = [
     ("State of Madhya Pradesh", "State of M.P."),
@@ -208,6 +213,14 @@ def _page_spec(i: int) -> dict:
         "judge": judge,
         "witness": witness,
         "investigator": INVESTIGATORS[i % len(INVESTIGATORS)],
+        # every 5th page (i%5==1) carries a CATCHWORDS header line with two
+        # consecutive vocabulary terms
+        "catchwords": (
+            [CATCHWORDS[i % len(CATCHWORDS)],
+             CATCHWORDS[(i + 1) % len(CATCHWORDS)]]
+            if i % 5 == 1
+            else []
+        ),
         "pw": 1 + (i % 9),
         "year": year,
         "with_cases": with_cases,
@@ -236,6 +249,8 @@ def _page_text(s: dict, target_chars: int = 4200) -> str:
         versus,
         f"{s['state_full'].upper()} …RESPONDENT",
     ]
+    if s.get("catchwords"):
+        lines.append("CATCHWORDS: " + ", ".join(s["catchwords"]))
     if s["with_cases"]:
         lines.append("WITH")
         for wc in s["with_cases"]:
@@ -363,6 +378,13 @@ def expected_triples(s: dict) -> List[dict]:
                     }
                 ),
             ),
+        ),
+        *(
+            [
+                (cc, "hasWords",
+                 ("CatchWord", canon_props({"catchwordValue": w})))
+                for w in s.get("catchwords", [])
+            ]
         ),
         (cc, "hasWitness", ("Witness", canon_props({"wFirstName": w_first, "wLastName": w_last}))),
         (

@@ -77,6 +77,7 @@ _CASE_BLOCK_RE = re.compile(
     r"(?P<resp>.+?) (?:…|\.{3})\s?RESPONDENT(?:\(S\))?$",
     re.M | re.I,
 )
+_CATCHWORDS_RE = re.compile(r"^CATCHWORDS: (.+)$", re.M)
 _JUDGE_LINE_RE = re.compile(r"^([A-Z]\.(?: [A-Z]\.)*) ([A-Z]+), J\.$", re.M)
 # multi-judge bench line: "R. BANUMATHI, A. DESHMUKH, JJ." — comma-separated
 # all-caps names, plural JJ. marker (prompt example distribution)
@@ -200,6 +201,20 @@ def extract_from_text(text: str) -> List[Triple]:
                  {"hasCaseID": cid,
                   "hasCaseName": f"{appellant} Versus {respondent}"})
             )
+
+    # header CATCHWORDS line -> one CourtCase-hasWords->CatchWord triple
+    # per comma-separated term (ontology: catchwordValue; prompt spec space
+    # "domain words, facts and issue related words")
+    if primary:
+        cw_m = _CATCHWORDS_RE.search(header)
+        if cw_m:
+            for word in cw_m.group(1).split(","):
+                word = word.strip()
+                if word:
+                    triples.append(
+                        (cw_m.start(), "CourtCase", dict(primary), "hasWords",
+                         "CatchWord", _s(word))
+                    )
 
     # judges: a multi-judge bench line ("…, JJ.") names every member; else
     # the single-judge line ("X. SURNAME, J.")
