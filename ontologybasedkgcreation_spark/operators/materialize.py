@@ -212,10 +212,14 @@ def case_metadata_edges(records: DataFrame, chained_chunks: DataFrame) -> DataFr
 def part_of_edges(edges: DataFrame, chunks: DataFrame) -> DataFrame:
     """part_of edges from every extracted node mention to the chunk containing
     its evidence span (agent_utils.py:258-268) — a range join on character
-    offsets.  With overlap two chunks may contain a span; the earliest wins
-    (row_number over chunk_index)."""
-    from pyspark.sql import Window
+    offsets.  With overlap two chunks may contain a span; the earliest wins.
 
+    Earliest-chunk-per-(node, span, url) is a struct MIN, not a
+    ``row_number`` sort window — the same rewrite as the linking probes and
+    ``primary_case_nodes``: the aggregation partial-combines map-side
+    (chunk_index is unique per url, so MIN reproduces the window's rank-1
+    exactly), where the window needed a full sort shuffle of the
+    mention×chunk join output."""
     c = chunks.select(
         "url", "chunk_id", "chunk_index", "char_start", "char_end"
     )
@@ -232,14 +236,13 @@ def part_of_edges(edges: DataFrame, chunks: DataFrame) -> DataFrame:
         & (mention_keys["span_start"] >= c["char_start"])
         & (mention_keys["span_start"] < c["char_end"]),
     ).drop(c["url"])
-    w = Window.partitionBy("node_key", "span_start", "url").orderBy("chunk_index")
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        joined.groupBy("node_key", "span_start", "url")
+        .agg(F.min(F.struct("chunk_index", "chunk_id")).alias("m"))
         .select(
             F.col("node_key").alias("src_key"),
             F.lit("part_of").alias("relationship"),
-            F.col("chunk_id").alias("dst_key"),
+            F.col("m.chunk_id").alias("dst_key"),
             "url",
             "span_start",
         )
