@@ -605,6 +605,18 @@ def q_case_metadata(spark, sf_dir):
     )
 
 
+def q_onto_closure(spark, sf_dir):
+    """S3/S4 under the value-hash gate: the subclass transitive closure of
+    the NyOn ontology computed ENGINE-SIDE (iterative BFS joins over the
+    direct-edge frame, shortest-path depths —
+    Ontology.subclass_closure_frame) vs a recursive-CTE oracle over the
+    same 65 direct edges."""
+    onto = load_ontology()
+    return onto.subclass_closure_frame(spark).select(
+        "descendant", "ancestor", F.col("depth").cast("long").alias("depth")
+    )
+
+
 def q_cooccur(spark, sf_dir):
     """The distributed half of corpus-embedder training
     (embedding.cooccurrence_frame): windowed token co-occurrence counts
@@ -892,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
         "cooccur": q_cooccur,
+        "onto_closure": q_onto_closure,
         "graph_match": q_graph_match,
         "graph_khop": q_graph_khop,
         "graph_labels": q_graph_labels,
@@ -930,6 +943,14 @@ WITH sh AS (
 """
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _subclass_values() -> str:
+    onto = load_ontology()
+    rows = ",\n    ".join(
+        f"('{c}', '{p}')" for c, p in onto.subclass_edges
+    )
+    return f"(VALUES\n    {rows}\n  )"
 
 
 def _embed_sw() -> str:
@@ -1351,6 +1372,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN doc_id % 10 <> 0 THEN source ELSE '' END AS hasCourtName,
        'In Re ' || CAST(doc_id AS VARCHAR) AS hasCaseName
 FROM documents
+""",
+        # onto_closure: recursive-CTE transitive closure over the SAME 65
+        # direct subclass edges; MIN(depth) reproduces the BFS
+        # shortest-path semantics over multi-path DAG ancestors
+        "onto_closure": f"""
+WITH RECURSIVE e(child, parent) AS (
+  SELECT * FROM {_subclass_values()} AS t(child, parent)
+), cl(descendant, ancestor, depth) AS (
+  SELECT child, parent, 1 FROM e
+  UNION ALL
+  SELECT cl.descendant, e.parent, cl.depth + 1
+  FROM cl JOIN e ON cl.ancestor = e.child
+)
+SELECT descendant, ancestor, CAST(MIN(depth) AS BIGINT) AS depth
+FROM cl GROUP BY 1, 2
 """,
         # graph_match / graph_khop / graph_labels: the Cypher-shaped query
         # primitives over customer->nation->region mapped as a graph

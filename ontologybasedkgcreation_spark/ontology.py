@@ -345,6 +345,51 @@ class Ontology:
 
     # ---- Spark integration -------------------------------------------------
 
+    def subclass_closure_frame(self, spark, max_depth: int = 16):
+        """(descendant, ancestor, depth) computed ENGINE-SIDE: iterative
+        BFS joins over the direct-edge DataFrame (depth = shortest path;
+        pairs reached earlier are anti-joined away, so multi-path DAG
+        ancestors keep their minimum depth).  The Python
+        :meth:`subclass_closure` stays the spec (pytest pins equality and
+        the ``onto_closure`` driver query pins it against a recursive-CTE
+        oracle); this is the shape a table-resident ontology (thousands of
+        classes, n10s-style) would use — log-depth rounds of bounded
+        joins, no driver-side graph walk."""
+        from pyspark.sql import functions as F
+
+        edges = spark.createDataFrame(
+            list(self.subclass_edges), "child string, parent string"
+        )
+        closure = edges.select(
+            F.col("child").alias("descendant"),
+            F.col("parent").alias("ancestor"),
+            F.lit(1).alias("depth"),
+        ).localCheckpoint()
+        frontier = closure
+        for d in range(2, max_depth + 1):
+            nxt = (
+                frontier.join(
+                    edges, frontier["ancestor"] == edges["child"]
+                )
+                .select(
+                    "descendant",
+                    edges["parent"].alias("ancestor"),
+                    F.lit(d).alias("depth"),
+                )
+                .distinct()
+                .join(
+                    closure.select("descendant", "ancestor"),
+                    ["descendant", "ancestor"],
+                    "left_anti",
+                )
+                .localCheckpoint()
+            )
+            if not nxt.take(1):
+                break
+            closure = closure.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return closure
+
     def to_dataframes(self, spark):
         """Four small DataFrames for broadcast joins (SURVEY.md §1.4)."""
         from pyspark.sql.types import (

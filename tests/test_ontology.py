@@ -81,3 +81,17 @@ def test_prop_schema_inherited_and_empty():
         "wLastName",
         "witnessStatement",
     }
+
+
+def test_subclass_closure_frame_matches_python_spec(spark):
+    """The engine-side iterative-join closure (subclass_closure_frame)
+    equals the Python BFS spec (subclass_closure) row for row — shortest
+    depths included."""
+    from ontologybasedkgcreation_spark.ontology import load_ontology
+
+    onto = load_ontology()
+    got = {
+        (r["descendant"], r["ancestor"], r["depth"])
+        for r in onto.subclass_closure_frame(spark).collect()
+    }
+    assert got == set(onto.subclass_closure())
