@@ -5,10 +5,11 @@ metadata struct; decode / feature-extraction / resize / frame-sampling are
 ``mapInPandas`` stages whose Spark-side contract (schema, batch shape,
 partitioning) is real and tested here.
 
-Decoders (round 4): the container has no codec *packages*, but PNG and WAV
-are decodable with the standard library alone — ``decode_png`` implements
+Decoders (round 4): the container has no codec *packages*, but PNG, BMP
+and WAV are decodable with the standard library alone — ``decode_png`` implements
 the public PNG spec (zlib-inflate IDAT, per-scanline unfiltering, 8-bit
-gray/RGB/RGBA) and ``decode_wav`` uses the stdlib ``wave`` reader — so
+gray/RGB/RGBA) ``decode_bmp`` the uncompressed 24-bit BMP layout,
+and ``decode_wav`` uses the stdlib ``wave`` reader — so
 ``decoder='real'`` performs ACTUAL media decode end-to-end, plus
 ``resize_nearest`` for real downsampling.  Formats needing external codecs
 (JPEG, video containers) still raise ``NotImplementedError`` at the
@@ -169,6 +170,48 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> (H, W, 3) uint8 RGB, stdlib only
+    (BITMAPINFOHEADER; rows are bottom-up and 4-byte padded, pixels BGR)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, width, height = struct.unpack("<IiI", payload[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", payload[26:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={compression} outside the "
+            "uncompressed 24-bit subset"
+        )
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        off = data_off + y * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=width * 3, offset=off)
+        rows.append(row.reshape(width, 3)[:, ::-1])  # BGR -> RGB
+    return np.stack(rows[::-1])  # bottom-up -> top-down
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BMP bytes — fixture
+    generator for the decoder's tests."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = img[y][:, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (stride - len(row))
+    data_off = 54
+    return (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack("<IiIHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
 def decode_wav(payload: bytes) -> dict:
     """WAV bytes -> {samples int16 (n, channels), rate, channels,
     duration_ms} via the stdlib ``wave`` reader (16-bit PCM)."""
@@ -222,8 +265,12 @@ def decode_real(payload: bytes, kind: str) -> np.ndarray:
     - anything else: the documented NotImplementedError integration point.
     """
     out = np.zeros(16, dtype=np.float32)
-    if payload[:8] == _PNG_MAGIC:
-        img = decode_png(payload).astype(np.float32)
+    if payload[:8] == _PNG_MAGIC or payload[:2] == b"BM":
+        img = (
+            decode_png(payload)
+            if payload[:8] == _PNG_MAGIC
+            else decode_bmp(payload)
+        ).astype(np.float32)
         ch = img.shape[2]
         for c in range(min(ch, 4)):
             out[c] = img[..., c].mean() / 255.0

@@ -387,3 +387,20 @@ def test_srp_signature_arrow_matches_jvm_spec(spark):
     assert {tuple(r) for r in spec.select(cols).collect()} == {
         tuple(r) for r in arrow.select(cols).collect()
     }
+
+
+def test_bmp_decode_roundtrip():
+    """24-bit BMP decode is pixel-exact, including the 4-byte row padding
+    (width 3 -> stride 12) and the BGR/bottom-up conventions."""
+    import numpy as np
+
+    for w, h in ((3, 2), (4, 4), (5, 3)):
+        rng = np.random.RandomState(w * 10 + h)
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(
+            multimodal.decode_bmp(multimodal.encode_bmp(img)), img
+        )
+    # decode_real routes BMP payloads through the image feature path
+    white = np.full((6, 5, 3), 255, dtype=np.uint8)
+    f = multimodal.decode_real(multimodal.encode_bmp(white), "image")
+    assert abs(f[0] - 1.0) < 1e-6 and abs(f[15] - 1.0) < 1e-6
