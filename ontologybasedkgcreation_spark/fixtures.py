@@ -55,6 +55,22 @@ CATCHWORDS: List[str] = [
     "recovery of weapon", "benefit of doubt", "dying declaration",
 ]
 
+# case-fact statements (hasFact, the golden file's dominant body
+# relationship — 20/163 rows in kg_creator/src/sample_response.json).
+# Page i carries FACTS[i%5] and FACTS[(i+2)%5]; only template 0 varies by
+# page ({place}).  Phrasing deliberately avoids every other body-rule
+# anchor ("recovered from", "challenges the judgment", ...), and repeated
+# cross-page instances collapse to one Fact node by content key (free-text
+# nodes never fuzzy-merge: link_nodes linkable filter).
+FACTS: List[str] = [
+    "the deceased was last seen in the company of the accused near {place}",
+    "the accused bore a grudge against the deceased over a land dispute",
+    "the dead body was found in a pit at the instance of the accused",
+    "the blood-stained axe was seized from the house of the accused",
+    "the postmortem report attributed the death to injuries caused by a "
+    "heavy blunt object",
+]
+
 # (canonical full form, abbreviated alias or None)
 STATES: List[Tuple[str, str | None]] = [
     ("State of Madhya Pradesh", "State of M.P."),
@@ -222,6 +238,10 @@ def _page_spec(i: int) -> dict:
             else []
         ),
         "pw": 1 + (i % 9),
+        "facts": [
+            FACTS[i % len(FACTS)].format(place=place),
+            FACTS[(i + 2) % len(FACTS)].format(place=place),
+        ],
         "year": year,
         "with_cases": with_cases,
         "sections": sections,
@@ -292,7 +312,9 @@ def _page_text(s: dict, target_chars: int = 4200) -> str:
         f"upholding the conviction of the appellant.",
         f"The appellant was convicted under {sec_str} of the {s['act']}.",
         FILLER_SENTENCES[0],
+        f"It is the case of the prosecution that {s['facts'][0]}.",
         FILLER_SENTENCES[1],
+        f"It is the case of the prosecution that {s['facts'][1]}.",
         f"The prosecution examined {w_first} {w_last} (PW-{s['pw']}) as a witness.",
         f"The investigation was conducted by {s['investigator'][0]} "
         f"{s['investigator'][1]} {s['investigator'][2]}.",
@@ -304,6 +326,9 @@ def _page_text(s: dict, target_chars: int = 4200) -> str:
         FILLER_SENTENCES[4],
         f"Counsel for the {state_in_body} submitted that the recovery was duly "
         f"proved and the conviction deserved to be sustained.",
+        f"Counsel for the {s.get('party_label', 'Appellant').lower()} "
+        f"{a_first} {a_last} submitted that the identification of the accused "
+        f"was doubtful and the benefit of doubt ought to be extended.",
         FILLER_SENTENCES[5],
         f"{j_last}, J. observed that the testimony of the witnesses was "
         f"consistent and inspired confidence.",
@@ -450,6 +475,28 @@ def expected_triples(s: dict) -> List[dict]:
             ),
             "respondentArgument",
             respondent,
+        ),
+        # the appellant/petitioner twin (appellantArgument /
+        # petitionerArgument, legalOntology.owl:112-119 / :403-409) — the
+        # named party links to the header party node
+        (
+            (
+                "Argument",
+                canon_props(
+                    {
+                        "text": "the identification of the accused was doubtful "
+                        "and the benefit of doubt ought to be extended"
+                    }
+                ),
+            ),
+            "appellantArgument" if ap_label == "Appellant"
+            else "petitionerArgument",
+            appellant,
+        ),
+        # hasFact — the golden file's most frequent valid relationship
+        *(
+            (cc, "hasFact", ("Fact", canon_props({"text": fact})))
+            for fact in s["facts"]
         ),
     ]
     for n in s["sections"]:

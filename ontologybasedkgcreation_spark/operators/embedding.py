@@ -109,15 +109,23 @@ def cooccurrence_frame(
     kept = toks.join(
         F.broadcast(vocab_df.select("token")), "token", "left_semi"
     )
-    a = kept.select("doc", F.col("pos").alias("pa"), F.col("token").alias("w"))
-    b = kept.select("doc", F.col("pos").alias("pb"), F.col("token").alias("c"))
+    # Window pairing as a PURE EQUI-JOIN on (doc, pos): the left side explodes
+    # each kept token into its `window` forward probe positions, so the join
+    # key carries the window constraint and Spark's hash/sort-merge join does
+    # O(tokens x window) work.  (A doc-only equi-key with `pb <= pa+window` as
+    # a post-join filter is a per-document cross product — O(tokens^2) pair
+    # comparisons on long documents; plan-verified and rejected, see
+    # test_embedding plan pin + BENCH/BASELINE.md A/B line.)
+    probes = kept.select(
+        "doc",
+        F.col("token").alias("w"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos"),
+    )
+    b = kept.select("doc", "pos", F.col("token").alias("c"))
     return (
-        a.join(
-            b,
-            (a["doc"] == b["doc"])
-            & (b["pb"] > a["pa"])
-            & (b["pb"] <= a["pa"] + window),
-        )
+        probes.join(b, ["doc", "pos"])
         .groupBy("w", "c")
         .agg(F.count("*").alias("n"))
         # fold the two directions onto ordered (w <= c) keys so the table

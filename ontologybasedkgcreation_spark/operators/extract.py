@@ -108,6 +108,11 @@ _INVESTIGATOR_RE = re.compile(
     r"([A-Z][a-z]+ [A-Z][a-z]+)"
 )
 _ARGUMENT_RE = re.compile(r"Counsel for the (.+?) submitted that ([^.]+?)\.")
+# the reference golden file's single most frequent VALID relationship:
+# hasFact, 20 of 163 triples in kg_creator/src/sample_response.json
+# (CourtCase-hasFact->Fact, legalOntology.owl:212-219; prompt example
+# prompts.py:378-395 assigns the fact text to the Fact node's `text` prop)
+_FACT_RE = re.compile(r"It is the case of the prosecution that ([^.]+?)\.")
 _OPINION_RE = re.compile(r"([A-Z][a-z]+), J\. observed that ([^.]+?)\.")
 _DOJ_RE = re.compile(r"judgment was delivered on (\d{1,2}) ([A-Z][a-z]+) (\d{4})")
 
@@ -295,11 +300,39 @@ def extract_from_text(text: str) -> List[Triple]:
                 (m.start(), "CourtCase", dict(prior), "hasRulingOf",
                  "Court", _s(m.group(2).strip()))
             )
+        # facts of the case (the golden file's dominant body relationship:
+        # 20/163 hasFact rows in sample_response.json)
+        for m in _FACT_RE.finditer(text):
+            triples.append(
+                (m.start(), "CourtCase", dict(primary), "hasFact",
+                 "Fact", _s(m.group(1).strip()))
+            )
+    # party arguments: "Counsel for the <party> submitted that <arg>" —
+    # the party phrase picks the AllDisjoint argument relationship family
+    # (legalOntology.owl:112-119 appellantArgument Argument->Appellant,
+    # owl:403-409 petitionerArgument Argument->Petitioner, else the
+    # respondent side; prompt table prompts.py:103).  A named appellant/
+    # petitioner ("Counsel for the appellant Arjun Verma ...") carries the
+    # name into the party node so it links to the header party mention.
     for m in _ARGUMENT_RE.finditer(text):
-        triples.append(
-            (m.start(), "Argument", _s(m.group(2).strip()),
-             "respondentArgument", "Respondent", _s(m.group(1).strip()))
-        )
+        party = m.group(1).strip()
+        arg = _s(m.group(2).strip())
+        low = party.lower()
+        for role, rel in (
+            ("appellant", "appellantArgument"),
+            ("petitioner", "petitionerArgument"),
+        ):
+            if low.startswith(role):
+                name = party[len(role):].strip()
+                triples.append(
+                    (m.start(), "Argument", arg, rel, role.title(), _s(name))
+                )
+                break
+        else:
+            triples.append(
+                (m.start(), "Argument", arg, "respondentArgument",
+                 "Respondent", _s(party))
+            )
     for m in _OPINION_RE.finditer(text):
         triples.append(
             (m.start(), "Judge", _s(m.group(1)), "hasOpinion",
@@ -399,6 +432,7 @@ def anchor_gate_condition():
         | t.contains("submitted that")
         | t.contains("observed that")
         | t.contains("judgment was delivered")
+        | t.contains("case of the prosecution")  # hasFact rule
     )
 
 

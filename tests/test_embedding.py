@@ -68,6 +68,34 @@ def test_cooccurrence_counts_are_symmetric_half(trained):
     assert "court" in vocab and "apex" in vocab and "supreme" in vocab
 
 
+def test_cooccurrence_join_is_equi_keyed_on_doc_and_pos(spark):
+    """Plan pin for the round-4 verdict's one perf defect: the window
+    constraint must live IN the join key (probe side exploded to pos+1..
+    pos+window, equi-join on (doc, pos)) so the pairing is O(tokens x
+    window).  A doc-only equi-key with the window as a post-join band
+    filter is a per-document cross product — O(tokens^2) on long docs."""
+    import re
+
+    from ontologybasedkgcreation_spark.operators.embedding import (
+        cooccurrence_frame,
+    )
+
+    docs = _corpus_df(spark)
+    cooc = cooccurrence_frame(docs, "text", window=4, min_count=2,
+                              max_vocab=500)
+    plan = cooc._jdf.queryExecution().executedPlan().toString()
+    inner = [l for l in plan.split("\n")
+             if "Join" in l and "Inner" in l and "LeftSemi" not in l]
+    assert inner, plan
+    for line in inner:
+        # every inner join keys on BOTH doc and pos
+        keys = re.search(r"Join \[([^\]]*)\], \[([^\]]*)\], Inner", line)
+        assert keys, line
+        assert "doc#" in keys.group(1) and "pos#" in keys.group(1), line
+        # and carries no residual position band condition
+        assert "<=" not in line and ">" not in line.split("Inner")[1], line
+
+
 def test_distributional_similarity_orders_correctly(trained):
     """Tokens sharing contexts embed close; unrelated tokens don't — and
     retraining is deterministic (eigh + sign convention, no RNG)."""
