@@ -19,6 +19,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _fast_tmp():
+    """tmpfs scratch (matches __spark_entry__._fast_tmp): keeps the
+    reconcile batch tables off virtio disk, like the shuffle dirs."""
+    return "/dev/shm" if os.path.isdir("/dev/shm") else None
 # 16 threads, not 32: one JVM's pandas-UDF stages anti-scale past ~16 task
 # threads on this box (measured 2367 p/s @16 vs 1734 @32 on the identical
 # 200k-page job) — the real-cluster analog is 4-8-core executors, which is
@@ -135,7 +141,7 @@ def main() -> int:
     from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
     from ontologybasedkgcreation_spark.streaming import ingest
 
-    rec_base = tempfile.mkdtemp(prefix="bench_reconcile_")
+    rec_base = tempfile.mkdtemp(prefix="bench_reconcile_", dir=_fast_tmp())
     try:
         writer = GraphWriter(os.path.join(rec_base, "graph"), buckets=32)
         rec_pages = fixtures.pages_df_distributed(

@@ -77,6 +77,7 @@ def cooccurrence_frame(
     min_count: int = 2,
     max_vocab: int = 2_000,
     id_col: Optional[str] = None,
+    vocab_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(w, c, n) with w <= c: windowed co-occurrence counts over the capped
     vocabulary — the distributed half of embedder training, also exposed as
@@ -92,8 +93,13 @@ def cooccurrence_frame(
     documents collapse onto one key, and the self-join then pairs their
     token streams with each other (d copies contribute d² directed matches
     instead of d) — pass ``id_col`` when exact counts over a
-    duplicate-bearing corpus matter."""
-    vocab_df = vocab_frame(docs, text_col, min_count, max_vocab)
+    duplicate-bearing corpus matter.
+
+    ``vocab_df``: pre-computed vocabulary frame — callers that already
+    materialized the vocabulary (token_cooccurrence collects it first)
+    pass it in so the corpus isn't re-scanned to rebuild it."""
+    if vocab_df is None:
+        vocab_df = vocab_frame(docs, text_col, min_count, max_vocab)
     doc_key = (
         F.col(id_col) if id_col is not None else F.xxhash64(F.col(text_col))
     )
@@ -153,11 +159,19 @@ def token_cooccurrence(
     symmetric half; the factorization mirrors it), vocab_counts = token ->
     corpus frequency for the capped vocabulary.  Both are vocabulary-sized
     (driver-safe); the corpus-sized work is all in the DataFrame job."""
-    vocab_counts = {
-        r["token"]: int(r["n"])
-        for r in vocab_frame(docs, text_col, min_count, max_vocab).collect()
-    }
-    cooc = cooccurrence_frame(docs, text_col, window, min_count, max_vocab)
+    vocab_df = vocab_frame(docs, text_col, min_count, max_vocab)
+    vocab_rows = vocab_df.collect()
+    vocab_counts = {r["token"]: int(r["n"]) for r in vocab_rows}
+    spark = docs.sparkSession
+    cooc = cooccurrence_frame(
+        docs, text_col, window, min_count, max_vocab,
+        # re-create the collected vocabulary as a literal frame: the
+        # co-occurrence job then broadcasts it without re-running the
+        # vocab aggregation over the corpus
+        vocab_df=spark.createDataFrame(
+            [(t,) for t in vocab_counts], "token string"
+        ) if vocab_rows else vocab_df.select("token"),
+    )
     rows = [(r["w"], r["c"], int(r["n"])) for r in cooc.collect()]
     return rows, vocab_counts
 

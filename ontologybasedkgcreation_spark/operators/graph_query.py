@@ -15,8 +15,10 @@ plans Catalyst can optimize:
   is a pushable scalar and reaches the parquet reader's PushedFilters —
   plan-pinned — while the label test is an OR over the labels array and
   the property test a map access, which parquet cannot push: at 100 TB
-  partition the node table by ``head_label`` so the label restriction
-  becomes a partition prune instead);
+  write the node table with ``GraphWriter(node_partition_col=
+  'head_label')`` and query with ``label_scope='head'`` so the label
+  restriction becomes a partition PRUNE — implemented and plan-pinned in
+  test_plans);
 - the node table is usually the small side at query time — hint-broadcast
   per hop when it fits;
 - ``k_hop`` is frontier expansion with a distinct per round — k bounded
@@ -40,15 +42,25 @@ def _node_side(
     label: Optional[str],
     props: Optional[Dict[str, str]],
     keep_props: bool,
+    label_scope: str = "any",
 ) -> DataFrame:
     n = nodes
     if label is not None:
-        # any label in the node's label set matches (Cypher `a:Label`
-        # semantics over multi-labeled nodes)
-        n = n.filter(
-            (F.col("head_label") == label)
-            | F.array_contains(F.col("labels"), label)
-        )
+        if label_scope == "head":
+            # pure head_label equality: over a head_label-PARTITIONED node
+            # table (GraphWriter(node_partition_col='head_label')) this is
+            # a partition PRUNE — the scan's PartitionFilters name the
+            # label and untouched label directories are never read
+            # (plan-pinned in test_plans).  The disjunction below cannot
+            # prune (its array_contains arm is not a partition predicate).
+            n = n.filter(F.col("head_label") == label)
+        else:
+            # any label in the node's label set matches (Cypher `a:Label`
+            # semantics over multi-labeled nodes)
+            n = n.filter(
+                (F.col("head_label") == label)
+                | F.array_contains(F.col("labels"), label)
+            )
     if props:
         for k, v in props.items():
             n = n.filter(F.element_at(F.col("props"), F.lit(k)) == v)
@@ -67,6 +79,7 @@ def match_chain(
     chain: Sequence[Tuple[Optional[str], Optional[str], Optional[str]]],
     where: Optional[Dict[int, Dict[str, str]]] = None,
     keep_props: bool = False,
+    label_scope: str = "any",
 ) -> DataFrame:
     """``MATCH (a0:L0)-[:r0]->(a1:L1)-[:r1]->(a2:L2)…`` as one join plan.
 
@@ -80,9 +93,16 @@ def match_chain(
 
     Each hop is edges filtered on its relationship joined to the
     label/property-filtered node table; node filters sit on the scan side
-    of the joins, so Catalyst pushes them into the parquet read."""
+    of the joins, so Catalyst pushes them into the parquet read.
+
+    ``label_scope``: 'any' (Cypher semantics — head OR secondary label
+    matches) or 'head' (head_label equality only; over a node table
+    written with ``GraphWriter(node_partition_col='head_label')`` every
+    label restriction becomes a partition prune — the 100x read path)."""
     where = where or {}
-    out = _node_side(nodes, "n0", chain[0][0], where.get(0), keep_props)
+    out = _node_side(
+        nodes, "n0", chain[0][0], where.get(0), keep_props, label_scope
+    )
     for i, (_, rel, dst_label) in enumerate(chain):
         e = edges
         if rel is not None:
@@ -93,7 +113,8 @@ def match_chain(
         )
         out = out.join(e, f"n{i}_key")
         dst = _node_side(
-            nodes, f"n{i + 1}", dst_label, where.get(i + 1), keep_props
+            nodes, f"n{i + 1}", dst_label, where.get(i + 1), keep_props,
+            label_scope,
         )
         out = out.join(dst, f"n{i + 1}_key")
     return out

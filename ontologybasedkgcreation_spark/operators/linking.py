@@ -626,12 +626,29 @@ def refine_pairs(
     )
 
 
+# property keys that mark a node as a PERSON name.  The default-on semantic
+# refine excludes these labels: distributional similarity over person names
+# conflates role-mates — measured on the fixture corpus, two DIFFERENT
+# judges ("A. Deshmukh" / "V. Raghavan") embed at cosine 1.000 because
+# their surnames occupy byte-identical contexts, and the same holds for
+# witnesses and investigators.  Person aliasing in this engine is lexical
+# (abbreviation table + containment: "Deshmukh, J." ⊂ "A. Deshmukh").
+PERSON_PROP_KEYS = (
+    "firstName", "lastName",
+    "COFirstName", "COLastName",
+    "wFirstName", "wLastName",
+    "hasPolicePersonnelName",
+)
+
+
 def refine_pairs_semantic(
     linkable: DataFrame,
     embedder,
     threshold: float = 0.75,
     bits: int = 64,
     band_bits: int = 4,
+    exclude_person_props: bool = False,
+    attest: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The reference-SHAPED refine pass with a pluggable embedding model
     (``refine_nodes.py:27-96``: real-model ANN kNN + gate): embed each
@@ -654,10 +671,34 @@ def refine_pairs_semantic(
     Default bands are 16 x 4 bits (not the 8 x 8 of the high-threshold
     near-dup query): at the reference's 0.6 similarity gate a true pair at
     cosine ~0.7-0.8 survives 4-bit bands with p > 0.997 but 8-bit bands
-    only ~0.5-0.75 — candidate recall, the exact verify is unchanged."""
+    only ~0.5-0.75 — candidate recall, the exact verify is unchanged.
+
+    The DEFAULT-ON path (build_graph auto-training) adds two deterministic
+    stand-ins for the reference's LLM + human merge gate, justified by
+    measurement (BENCH/BASELINE.md semantic-refine section):
+
+    - ``exclude_person_props``: drop nodes whose props carry a
+      :data:`PERSON_PROP_KEYS` key — distinct judges/witnesses embed at
+      cosine 1.000 on templated corpora (role-twin conflation);
+    - ``attest``: a (url, pre_key) mention table; a pair is accepted only
+      if some document mentions BOTH identities (aliases are used
+      interchangeably WITHIN documents — "the Apex Court ... the Supreme
+      Court of India held"; sibling entities like "Madras High Court" /
+      "Bombay High Court" embed at cosine 1.000 but are never attested).
+      The co-mention join is per-url over candidate mentions only —
+      O(docs x mentions-per-doc²) worst case, bounded like the chunk
+      window join, never corpus-quadratic."""
     from .similarity import cosine_neardup_pairs_lsh
 
-    base = linkable.filter(F.col("head_label") != "CourtCase").select(
+    base = linkable.filter(F.col("head_label") != "CourtCase")
+    if exclude_person_props:
+        base = base.filter(
+            ~F.arrays_overlap(
+                F.map_keys(F.col("props")),
+                F.array(*[F.lit(k) for k in PERSON_PROP_KEYS]),
+            )
+        )
+    base = base.select(
         "labels_str",
         "pre_key",
         "norm_identity",
@@ -678,12 +719,36 @@ def refine_pairs_semantic(
     )
     na = base.select(F.col("pre_key").alias("a"), F.col("num_toks").alias("na"))
     nb = base.select(F.col("pre_key").alias("b"), F.col("num_toks").alias("nb"))
-    return (
+    accepted = (
         pairs.join(na, "a")
         .join(nb, "b")
         .filter(F.col("na") == F.col("nb"))
         .select("a", "b")
     )
+    if attest is not None:
+        # co-mention attestation: restrict the mention table to candidate
+        # endpoints first (few — LSH-banded + cosine-accepted), then build
+        # per-url co-mention pairs; volume is Σ_url (candidate mentions)²,
+        # tiny, never the corpus-wide mention square
+        cand_keys = (
+            accepted.select(F.col("a").alias("pre_key"))
+            .unionByName(accepted.select(F.col("b").alias("pre_key")))
+            .distinct()
+        )
+        m = (
+            attest.select("url", "pre_key")
+            .join(cand_keys, "pre_key", "left_semi")
+            .distinct()
+        )
+        co = (
+            m.select("url", F.col("pre_key").alias("a"))
+            .join(m.select("url", F.col("pre_key").alias("b")), "url")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        accepted = accepted.join(co, ["a", "b"], "left_semi")
+    return accepted
 
 
 def containment_candidates(tok: DataFrame) -> DataFrame:
@@ -774,6 +839,11 @@ def build_graph(
     accept: str = "containment",
     semantic_embedder=None,
     semantic_threshold: float = 0.75,
+    corpus: Optional[DataFrame] = None,
+    corpus_text_col: str = "text",
+    semantic_auto_min_docs: int = 1_000,
+    semantic_auto_max_docs: int = 20_000,
+    semantic_auto_threshold: float = 0.6,
 ) -> Dict[str, DataFrame]:
     """assigned triples -> {nodes, edges, mapping}.
 
@@ -796,8 +866,46 @@ def build_graph(
     exact-cosine >= ``semantic_threshold``, CourtCase/numeral gates) are
     unioned into the accepted pairs — this is what merges LEXICALLY
     DISJOINT aliases ("Apex Court" == "Supreme Court of India").
+
+    ``corpus``: DEFAULT-ON semantic refine (the reference ALWAYS runs its
+    embedding refine, refine_nodes.py:27-96).  When no explicit
+    ``semantic_embedder`` is given and a corpus (a frame with
+    ``corpus_text_col``) of at least ``semantic_auto_min_docs`` documents
+    is provided, a PPMI-SVD embedder is auto-trained on a deterministic
+    hash-sample of at most ``semantic_auto_max_docs`` documents and the
+    semantic refine runs at the reference's 0.6 gate
+    (``semantic_auto_threshold``) WITH the two deterministic gate
+    stand-ins of :func:`refine_pairs_semantic` (person-prop exclusion +
+    co-mention attestation) — the reference backs its 0.6 gate with an
+    LLM + human check; unattested distributional cosine alone conflates
+    role-twins and sibling entities at cosine 1.000 (measured,
+    BENCH/BASELINE.md).  The floor exists because vocab quality needs
+    data; the cap bounds training cost at web scale (the model converges
+    on a sample — training on every document of a 100 TB corpus buys
+    nothing).  The explicit ``semantic_embedder`` hook keeps the guardless
+    behavior: there the caller owns the model and the threshold.
     """
     mentions = mentions_frame(assigned)
+
+    semantic_attest = None
+    semantic_exclude_persons = False
+    if semantic_embedder is None and corpus is not None:
+        n_docs = corpus.count()
+        if n_docs >= semantic_auto_min_docs:
+            from .embedding import train_corpus_embedder
+
+            sample = corpus.select(F.col(corpus_text_col).alias("text"))
+            if n_docs > semantic_auto_max_docs:
+                k = -(-n_docs // semantic_auto_max_docs)  # ceil
+                sample = sample.filter(
+                    F.pmod(F.xxhash64("text"), F.lit(k)) == 0
+                )
+            semantic_embedder = train_corpus_embedder(
+                sample.localCheckpoint()
+            )
+            semantic_threshold = semantic_auto_threshold
+            semantic_attest = mentions.select("url", "pre_key")
+            semantic_exclude_persons = True
 
     nodes0 = tokenized_node_frame(
         mentions.groupBy("labels_str", "head_label", "pre_key").agg(
@@ -815,6 +923,8 @@ def build_graph(
         accept=accept,
         semantic_embedder=semantic_embedder,
         semantic_threshold=semantic_threshold,
+        semantic_exclude_persons=semantic_exclude_persons,
+        semantic_attest=semantic_attest,
     )
     nodes_final, mapping = linked["nodes"], linked["mapping"]
 
@@ -857,6 +967,8 @@ def link_nodes(
     accept: str = "containment",
     semantic_embedder=None,
     semantic_threshold: float = 0.75,
+    semantic_exclude_persons: bool = False,
+    semantic_attest: Optional[DataFrame] = None,
 ) -> Dict[str, DataFrame]:
     """The linking + consolidation core over a tokenized node frame
     (:func:`tokenized_node_frame`) -> {nodes, mapping}.
@@ -913,7 +1025,11 @@ def link_nodes(
     if semantic_embedder is not None:
         pairs = pairs.unionByName(
             refine_pairs_semantic(
-                linkable, semantic_embedder, threshold=semantic_threshold
+                linkable,
+                semantic_embedder,
+                threshold=semantic_threshold,
+                exclude_person_props=semantic_exclude_persons,
+                attest=semantic_attest,
             )
         )
 

@@ -360,10 +360,30 @@ class GraphWriter:
     statement shapes stay contract-pinned by test_writer_merge.
     """
 
-    def __init__(self, base_path: str, fmt: str = "parquet", buckets: int = 32):
+    def __init__(
+        self,
+        base_path: str,
+        fmt: str = "parquet",
+        buckets: int = 32,
+        node_partition_col: Optional[str] = None,
+    ):
+        """``node_partition_col``: optional FIRST-level partition column
+        (e.g. ``'head_label'``) applied to any table that carries it, above
+        the key-hash bucket.  This is the 100x answer to unpushable label
+        filters in graph_query (label/prop predicates are array/map tests
+        parquet cannot push): a label-restricted read becomes a partition
+        PRUNE (PartitionFilters, plan-pinned in test_plans) instead of a
+        full scan.  Sound for merge() because the partition column must be
+        a pure function of the merge key — ``head_label`` is folded into
+        ``node_key`` (labels_str is hashed into it), so a key collision
+        always lands in the same (label, bucket) partition and dynamic
+        overwrite never strands a stale replaced row in another label's
+        directory.  The sidecar records the column and merge() asserts it,
+        like the bucket count."""
         self.base_path = base_path
         self.fmt = fmt
         self.buckets = buckets
+        self.node_partition_col = node_partition_col
 
     # -- bucket-count sidecar (local/posix paths; a DFS deployment would
     #    carry the same fact in table properties) --------------------------
@@ -376,14 +396,21 @@ class GraphWriter:
 
         os.makedirs(path, exist_ok=True)
         with open(self._meta_file(path), "w", encoding="utf-8") as fh:
-            json.dump({"buckets": self.buckets}, fh)
+            json.dump(
+                {
+                    "buckets": self.buckets,
+                    "node_partition_col": self.node_partition_col,
+                },
+                fh,
+            )
 
     def _assert_meta(self, path: str) -> None:
         import json
 
         try:
             with open(self._meta_file(path), encoding="utf-8") as fh:
-                stored = json.load(fh)["buckets"]
+                meta = json.load(fh)
+                stored = meta["buckets"]
         except (OSError, ValueError, KeyError, TypeError):
             # pre-sidecar (legacy) or truncated/corrupt sidecar: nothing
             # trustworthy to check against — record the CURRENT bucket count
@@ -396,6 +423,16 @@ class GraphWriter:
                 f"GraphWriter(buckets={self.buckets}) cannot merge into "
                 f"{path} written with buckets={stored} — keys would land in "
                 f"different buckets and leave stale duplicates"
+            )
+        # pre-round-5 sidecars carry no partition-col field: treat missing
+        # as None (the only layout those writers produced)
+        stored_col = meta.get("node_partition_col")
+        if stored_col != self.node_partition_col:
+            raise ValueError(
+                f"GraphWriter(node_partition_col={self.node_partition_col!r}) "
+                f"cannot merge into {path} written with "
+                f"node_partition_col={stored_col!r} — the directory layouts "
+                f"differ and dynamic overwrite would strand stale rows"
             )
 
     @staticmethod
@@ -415,6 +452,14 @@ class GraphWriter:
             F.pmod(F.xxhash64(F.col(key)), F.lit(self.buckets)).cast("int"),
         )
 
+    def _partition_cols(self, df: DataFrame) -> list:
+        if (
+            self.node_partition_col
+            and self.node_partition_col in df.columns
+        ):
+            return [self.node_partition_col, "bucket"]
+        return ["bucket"]
+
     def write(self, name: str, df: DataFrame, key: str = "url") -> str:
         path = os.path.join(self.base_path, name)
         if self.fmt == "iceberg":
@@ -429,7 +474,7 @@ class GraphWriter:
             # cannot be flipped by a session-level dynamic-overwrite setting
             # (a caller that ran a resume/merge earlier in the same session).
             .option("partitionOverwriteMode", "static")
-            .partitionBy("bucket")
+            .partitionBy(*self._partition_cols(df))
             .parquet(path)
         )
         self._write_meta(path)
@@ -473,7 +518,7 @@ class GraphWriter:
             .write.mode("overwrite")
             # dynamic: untouched buckets' files stay in place
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
+            .partitionBy(*self._partition_cols(new))
             .parquet(path)
         )
         return path

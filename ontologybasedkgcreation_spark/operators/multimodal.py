@@ -5,16 +5,19 @@ metadata struct; decode / feature-extraction / resize / frame-sampling are
 ``mapInPandas`` stages whose Spark-side contract (schema, batch shape,
 partitioning) is real and tested here.
 
-Decoders (round 4): the container has no codec *packages*, but PNG, BMP
-and WAV are decodable with the standard library alone — ``decode_png`` implements
-the public PNG spec (zlib-inflate IDAT, per-scanline unfiltering, 8-bit
-gray/RGB/RGBA) ``decode_bmp`` the uncompressed 24-bit BMP layout,
-and ``decode_wav`` uses the stdlib ``wave`` reader — so
-``decoder='real'`` performs ACTUAL media decode end-to-end, plus
-``resize_nearest`` for real downsampling.  Formats needing external codecs
-(JPEG, video containers) still raise ``NotImplementedError`` at the
-``decode_stub`` integration point; ``decoder='fake'`` remains the
-deterministic byte-histogram double for shape tests.
+Decoders (rounds 4-5): the container has no codec *packages*, but PNG, BMP,
+WAV and baseline JPEG are decodable with stdlib+numpy alone —
+``decode_png`` implements the public PNG spec (zlib-inflate IDAT,
+per-scanline unfiltering, 8-bit gray/RGB/RGBA), ``decode_bmp`` the
+uncompressed 24-bit BMP layout, ``decode_wav`` uses the stdlib ``wave``
+reader, and ``jpeg.decode_jpeg`` implements ITU-T T.81 baseline
+sequential DCT (Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
+markers) — so ``decoder='real'`` performs ACTUAL media decode
+end-to-end, plus ``resize_nearest`` for real downsampling.  Video
+containers (inter-frame codecs, not stdlib-implementable) still raise
+``NotImplementedError`` at the ``decode_stub`` integration point;
+``decoder='fake'`` remains the deterministic byte-histogram double for
+shape tests.
 
 At 100 TB the payload column dominates I/O: keep it in its own parquet column
 (column pruning skips it unless a decode stage runs), partition by content
@@ -56,12 +59,15 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Integration point for formats needing external codecs (JPEG, video
-    containers).  PNG/WAV decode is REAL (see decode_png / decode_wav)."""
+    """Integration point for formats needing external codecs (video
+    containers — inter-frame codecs are not stdlib-implementable).
+    PNG/BMP/WAV and baseline JPEG decode is REAL (decode_png / decode_bmp
+    / decode_wav / jpeg.decode_jpeg)."""
     raise NotImplementedError(
         "decoding this format requires codecs not present in this "
-        "environment (JPEG/video: plug PIL / torchaudio / pyav in here); "
-        "PNG and WAV payloads are decoded natively by decoder='real'"
+        "environment (video: plug pyav / torchvision in here); PNG, BMP, "
+        "WAV and baseline JPEG payloads are decoded natively by "
+        "decoder='real'"
     )
 
 
@@ -265,12 +271,20 @@ def decode_real(payload: bytes, kind: str) -> np.ndarray:
     - anything else: the documented NotImplementedError integration point.
     """
     out = np.zeros(16, dtype=np.float32)
-    if payload[:8] == _PNG_MAGIC or payload[:2] == b"BM":
-        img = (
-            decode_png(payload)
-            if payload[:8] == _PNG_MAGIC
-            else decode_bmp(payload)
-        ).astype(np.float32)
+    if (
+        payload[:8] == _PNG_MAGIC
+        or payload[:2] == b"BM"
+        or payload[:2] == b"\xff\xd8"
+    ):
+        if payload[:8] == _PNG_MAGIC:
+            img = decode_png(payload)
+        elif payload[:2] == b"BM":
+            img = decode_bmp(payload)
+        else:
+            from .jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
+        img = img.astype(np.float32)
         ch = img.shape[2]
         for c in range(min(ch, 4)):
             out[c] = img[..., c].mean() / 255.0

@@ -33,9 +33,19 @@ def run_pipeline(
     onto: Optional[Ontology] = None,
     with_paragraphs: bool = True,
     writer: Optional[materialize.GraphWriter] = None,
+    semantic: str = "auto",
+    semantic_min_pages: int = 1_000,
 ) -> Dict[str, DataFrame]:
     """Full run; returns all intermediate + final DataFrames (lazily built —
-    nothing executes until an action)."""
+    nothing executes until an action, except the semantic-refine
+    auto-training below).
+
+    ``semantic``: 'auto' (default — the reference ALWAYS runs its embedding
+    refine, refine_nodes.py:27-96; above ``semantic_min_pages`` English
+    pages a PPMI-SVD embedder is trained on the extracted text and the
+    guarded semantic refine runs, see build_graph ``corpus``) or 'off'.
+    The floor exists because distributional vocab quality needs data;
+    below it the lexical refine alone runs (identical to 'off')."""
     onto = onto or load_ontology()
 
     extracted = extract_pages(pages)
@@ -54,7 +64,14 @@ def run_pipeline(
     assigned = properties.assign_and_titlecase(v["validated"]).localCheckpoint(
         eager=False
     )
-    graph = linking.build_graph(assigned)
+    corpus = None
+    if semantic == "auto":
+        corpus = extracted
+        if "lang" in extracted.columns:
+            corpus = corpus.filter(F.col("lang") == "en")
+    graph = linking.build_graph(
+        assigned, corpus=corpus, semantic_auto_min_docs=semantic_min_pages
+    )
     nodes, edges = graph["nodes"], graph["edges"]
 
     out: Dict[str, DataFrame] = {

@@ -151,6 +151,128 @@ def _assigned(spark, rows):
     )
 
 
+ALIAS_DOCS = [
+    "the apex court held that the supreme court of india alone may entertain such a petition",
+    "this court being the apex court the supreme court of india must weigh the evidence afresh",
+    "the supreme court of india sitting as the apex court dismissed the appeal",
+    "learned counsel urged the apex court to reconsider while the supreme court of india reserved orders",
+    "the apex court namely the supreme court of india upheld the conviction recorded below",
+]
+SIBLING_DOCS = [
+    "the madras high court dismissed the petition with costs imposed",
+    "the bombay high court dismissed the petition with costs imposed",
+    "counsel argued before the madras high court during the hearing",
+    "counsel argued before the bombay high court during the hearing",
+    "the madras high court upheld the conviction of the accused person",
+    "the bombay high court upheld the conviction of the accused person",
+]
+JUDGE_DOCS = [
+    "deshmukh j observed that the testimony was consistent and inspired confidence",
+    "raghavan j observed that the testimony was consistent and inspired confidence",
+    "the bench of deshmukh j heard the matter and reserved orders",
+    "the bench of raghavan j heard the matter and reserved orders",
+]
+
+
+def test_semantic_default_auto_trains_with_gate_standins(spark):
+    """Round-4 verdict item 4, DEFAULT-ON path: build_graph(corpus=...)
+    auto-trains the PPMI-SVD embedder above the doc floor and runs the
+    semantic refine at the reference's 0.6 gate WITH the deterministic
+    stand-ins for its LLM+human merge gate:
+
+    - co-mention attestation merges the attested lexically-disjoint alias
+      ('Apex Court' == 'Supreme Court of India', both mentioned on u3);
+    - sibling entities (Madras/Bombay High Court, measured cosine 1.000,
+      never co-mentioned) do NOT merge;
+    - person-name nodes (two bench judges, measured cosine 1.000, even
+      co-mentioned on u6) do NOT merge.
+    """
+    from pyspark.sql import functions as SF
+
+    from ontologybasedkgcreation_spark.operators import linking
+
+    docs_rows = []
+    for k, t in enumerate((ALIAS_DOCS + SIBLING_DOCS + JUDGE_DOCS) * 3):
+        docs_rows.append((f"https://d/{k}", t))
+    docs = spark.createDataFrame(docs_rows, "url string, text string")
+
+    c = lambda i: {"hasCaseID": f"Criminal Appeal No. {i} Of 2015",
+                   "hasCaseName": f"A{i} Versus B{i}"}
+    rows = [
+        ("u1", "CourtCase", c(1), "hasRulingOf", "Court",
+         {"courtName": "Supreme Court Of India"}),
+        ("u2", "CourtCase", c(2), "hasRulingOf", "Court",
+         {"courtName": "Apex Court"}),
+        # u3 mentions BOTH spellings -> the pair is attested
+        ("u3", "CourtCase", c(3), "hasRulingOf", "Court",
+         {"courtName": "Supreme Court Of India"}),
+        ("u3", "CourtCase", c(3), "cited", "Court",
+         {"courtName": "Apex Court"}),
+        # sibling courts, never co-mentioned
+        ("u4", "CourtCase", c(4), "hasRulingOf", "Court",
+         {"courtName": "Madras High Court"}),
+        ("u5", "CourtCase", c(5), "hasRulingOf", "Court",
+         {"courtName": "Bombay High Court"}),
+        # two judges co-mentioned (a bench) -> person gate must veto
+        ("u6", "CourtCase", c(6), "hasJudge", "Judge",
+         {"COFirstName": "A.", "COLastName": "Deshmukh"}),
+        ("u6", "CourtCase", c(6), "hasJudge", "Judge",
+         {"COFirstName": "V.", "COLastName": "Raghavan"}),
+    ]
+    assigned = _assigned_generic(spark, rows)
+
+    base = linking.build_graph(assigned)
+    assert base["nodes"].filter(SF.col("head_label") == "Court").count() == 4
+
+    auto = linking.build_graph(assigned, corpus=docs,
+                               semantic_auto_min_docs=10)
+    courts = sorted(
+        r["props"]["courtName"]
+        for r in auto["nodes"].filter(SF.col("head_label") == "Court").collect()
+    )
+    assert courts == ["Bombay High Court", "Madras High Court",
+                      "Supreme Court Of India"]
+    assert auto["nodes"].filter(SF.col("head_label") == "Judge").count() == 2
+    # below the floor: identical to the lexical-only graph
+    floor = linking.build_graph(assigned, corpus=docs,
+                                semantic_auto_min_docs=10_000)
+    assert floor["nodes"].filter(SF.col("head_label") == "Court").count() == 4
+
+
+def _assigned_generic(spark, rows):
+    data = [
+        (url, 0, f"t{i}", t1, [t1], p1, rel, t2, [t2], p2)
+        for i, (url, t1, p1, rel, t2, p2) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "url string, span_start long, triple_id string, "
+        "node1_type string, node1_labels array<string>, "
+        "node1_props map<string,string>, relationship string, "
+        "node2_type string, node2_labels array<string>, "
+        "node2_props map<string,string>",
+    )
+
+
+def test_pipeline_semantic_auto_keeps_pr(spark):
+    """Default pipeline with the semantic refine AUTO-ACTIVATED (floor
+    lowered under the 500-page fixture corpus): precision/recall stay
+    1.0/1.0 — the guarded default merges nothing wrong on a corpus where
+    unguarded distributional cosine would collapse judges, witnesses and
+    sibling courts (all measured at cosine ~1.0).  At 60 pages the same
+    run over-merges a CatchWord (small-vocab distortion) — that
+    measurement is the floor's justification, recorded in
+    BENCH/BASELINE.md."""
+    from ontologybasedkgcreation_spark import fixtures, pipeline
+
+    pages, expected = fixtures.pages_df(spark, 500, non_en_every=10)
+    out = pipeline.run_pipeline(
+        spark, pages, with_paragraphs=False, semantic_min_pages=400
+    )
+    pr = pipeline.triple_precision_recall(out["triple_set"], expected)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+
 def test_semantic_refine_merges_lexically_disjoint_alias(spark, trained):
     """THE closing gate for the round-3 'real encoder' item: with the
     corpus-trained embedder passed to the DEFAULT build_graph path, 'Apex

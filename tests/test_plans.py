@@ -127,6 +127,79 @@ def test_merge_read_prunes_to_affected_buckets(spark, tmp_path):
     assert {int(x) for x in m.group(1).split(",")} == {2, 5}
 
 
+def test_partitioned_nodes_label_filter_is_partition_prune(spark, tmp_path):
+    """Round-4 verdict item 5: GraphWriter(node_partition_col='head_label')
+    lays the node table out by label above the key buckets, and
+    match_chain(label_scope='head') turns every label restriction into a
+    partition PRUNE — the scan's PartitionFilters name the label, so
+    untouched label directories are never read."""
+    from ontologybasedkgcreation_spark.operators.graph_query import match_chain
+    from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
+
+    nodes = spark.createDataFrame(
+        [("k1", "CourtCase", ["CourtCase"], {"hasCaseID": "c1"}),
+         ("k2", "Judge", ["Judge"], {"name": "J"}),
+         ("k3", "Court", ["Court"], {"courtName": "C"})],
+        "node_key string, head_label string, labels array<string>, "
+        "props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("k1", "hasJudge", "k2"), ("k1", "hasRulingOf", "k3")],
+        "src_key string, relationship string, dst_key string",
+    )
+    w = GraphWriter(str(tmp_path), buckets=4,
+                    node_partition_col="head_label")
+    np_ = w.write("nodes", nodes, key="node_key")
+    ep = w.write("edges", edges, key="src_key")
+
+    got = match_chain(
+        spark.read.parquet(np_),
+        spark.read.parquet(ep),
+        [("CourtCase", "hasJudge", "Judge")],
+        label_scope="head",
+    )
+    plan = _plan(got)
+    pfs = [seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]]
+    assert any("CourtCase" in p and "head_label" in p for p in pfs), pfs
+    assert any("Judge" in p and "head_label" in p for p in pfs), pfs
+    assert got.count() == 1
+
+
+def test_partitioned_nodes_merge_roundtrip(spark, tmp_path):
+    """merge() on the head_label-partitioned layout: upsert replaces the
+    colliding key in place, untouched labels/buckets survive, and a writer
+    with a DIFFERENT node_partition_col is refused (sidecar assert) — a
+    layout mismatch would strand stale rows."""
+    import pytest
+
+    from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
+
+    ddl = ("node_key string, head_label string, labels array<string>, "
+           "props map<string,string>")
+    w = GraphWriter(str(tmp_path), buckets=4,
+                    node_partition_col="head_label")
+    first = spark.createDataFrame(
+        [("k1", "Court", ["Court"], {"courtName": "Old"}),
+         ("k2", "Judge", ["Judge"], {"name": "J"})], ddl)
+    p = w.write("nodes", first, key="node_key")
+    batch = spark.createDataFrame(
+        [("k1", "Court", ["Court"], {"courtName": "New"}),
+         ("k9", "Witness", ["Witness"], {"wFirstName": "W"})], ddl)
+    w.merge("nodes", batch, key="node_key")
+    got = {
+        r["node_key"]: (r["head_label"], dict(r["props"]))
+        for r in spark.read.parquet(p).collect()
+    }
+    assert got == {
+        "k1": ("Court", {"courtName": "New"}),
+        "k2": ("Judge", {"name": "J"}),
+        "k9": ("Witness", {"wFirstName": "W"}),
+    }
+    flat = GraphWriter(str(tmp_path), buckets=4)
+    with pytest.raises(ValueError, match="node_partition_col"):
+        flat.merge("nodes", batch, key="node_key")
+
+
 def test_linking_pair_plan_has_no_sort_windows(spark):
     """The containment probe, bm25 probe/top-1, and refine gram probe are
     all rank-1/top-k selections rewritten as map-side-combinable
