@@ -343,9 +343,10 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """(H, W, 3) RGB or (H, W) / (H, W, 1) grayscale uint8 -> baseline
-    sequential JFIF bytes.  ``subsampling``: '444' (no chroma subsampling)
-    or '420' (2x2 box-averaged chroma — the dominant web shape, used to
-    exercise the decoder's upsampling path).  ``restart_interval``: emit a
+    sequential JFIF bytes.  ``subsampling``: '444' (no chroma
+    subsampling), '422' (horizontal-only 2x1 box-averaged chroma) or
+    '420' (2x2 — the dominant web shape); both subsampled modes exercise
+    the decoder's upsampling path.  ``restart_interval``: emit a
     DRI segment and RSTn markers every N MCUs (0 = none) — exercises the
     decoder's restart/DC-reset path."""
     img = np.asarray(img, dtype=np.uint8)
@@ -353,11 +354,15 @@ def encode_jpeg(
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[..., 0]
     h, w = img.shape[:2]
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    lh = lv = 2 if (subsampling == "420" and not gray) else 1
-    mcu = 8 * lh  # square MCU (lh == lv)
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    if subsampling not in ("444", "422", "420"):
+        raise ValueError("subsampling must be '444', '422' or '420'")
+    if gray:
+        lh = lv = 1
+    else:
+        lh = 2 if subsampling in ("422", "420") else 1
+        lv = 2 if subsampling == "420" else 1
+    mcu_w, mcu_h = 8 * lh, 8 * lv
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
 
     qt_l = _quality_scale(_QT_LUMA_ZZ, quality)
     qt_c = _quality_scale(_QT_CHROMA_ZZ, quality)
@@ -372,12 +377,12 @@ def encode_jpeg(
         ycc = _rgb_to_ycbcr(img)
         planes = [pad(ycc[..., c]) for c in range(3)]
         factors = [(lh, lv), (1, 1), (1, 1)]
-        if lh == 2:
-            # 2x2 box-average the chroma planes
+        if lh > 1 or lv > 1:
+            # box-average the chroma planes down by (lv, lh)
             for ci in (1, 2):
                 p = planes[ci]
                 planes[ci] = (
-                    p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                    p.reshape(ph // lv, lv, pw // lh, lh).mean(axis=(1, 3))
                 )
 
     out = bytearray()
@@ -431,8 +436,8 @@ def encode_jpeg(
     preds = [0] * ncomp
     mcu_count = 0
     # interleaved MCUs: per component, v x h 8x8 blocks per MCU
-    for my in range(ph // mcu):
-        for mx in range(pw // mcu):
+    for my in range(ph // mcu_h):
+        for mx in range(pw // mcu_w):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 writer.restart(mcu_count // restart_interval - 1)
                 preds = [0] * ncomp

@@ -76,6 +76,20 @@ def test_420_subsampling_and_restart_markers():
     assert np.array_equal(out, flat)
 
 
+def test_422_subsampling_roundtrip():
+    """Horizontal-only chroma subsampling (h=2, v=1) — the third common
+    web shape; the decoder's asymmetric upsampling path."""
+    img = _gradient(24, 40)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="422"))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert out.shape == img.shape
+    assert err.max() <= 8 and err.mean() < 2.0
+    flat = np.full((12, 20, 3), (10, 250, 77), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, quality=95, subsampling="422")), flat
+    )
+
+
 def test_encoder_is_deterministic():
     img = _gradient()
     assert encode_jpeg(img, 90) == encode_jpeg(img, 90)
