@@ -146,32 +146,140 @@ def cooccurrence_frame(
     )
 
 
+def cooccurrence_counts_fast(
+    docs: DataFrame,
+    vocab_tokens: List[str],
+    text_col: str = "text",
+    window: int = 4,
+) -> DataFrame:
+    """(w, c, n) with w <= c — the BATCH-VECTORIZED twin of
+    :func:`cooccurrence_frame` for a pre-collected vocabulary, bit-identical
+    by construction and pinned by the parity test (the repo's simhash
+    pattern: the DataFrame spec op stays as the ``cooccur`` oracle, the
+    numpy partial-count stage is the hot path).
+
+    Why: the spec op explodes every kept token into ``window`` probe rows
+    and shuffles them through a (doc, pos) equi-join — correct and
+    O(tokens x window), but at trainer shape (20k docs x ~3.3k tokens)
+    that is ~260 M shuffled rows and was measured at 98 s of the 113 s
+    auto-train cost.  Here each partition folds its documents into ONE
+    vocab x vocab int64 count matrix with ``np.add.at`` (vocab is capped,
+    so the matrix is <= 2000^2 x 8 B = 32 MB) and emits only its nonzero
+    partials; the shuffle is vocab-pair-sized, not corpus-sized.
+
+    Duplicate-document parity: the spec keys documents by
+    ``xxhash64(text)``, so d byte-identical copies collapse onto one join
+    key and contribute d^2 directed matches (documented caveat on
+    :func:`cooccurrence_frame`).  The fast path reproduces that exactly by
+    pre-grouping on the text and weighting each distinct document's count
+    matrix by d^2 — which also means duplicate text is tokenized once.
+
+    Tokenizer parity: the spec splits on Java regex ``\\s+`` (ASCII
+    whitespace — Java's ``\\s`` has no UNICODE_CHARACTER_CLASS here);
+    the Python stage uses the explicit class ``[ \\t\\n\\x0b\\f\\r]+``,
+    NOT ``str.split()`` (which also splits on Unicode whitespace like
+    NBSP and would drift on web text)."""
+    import re
+
+    import pandas as pd
+
+    tok2id = {t: i for i, t in enumerate(vocab_tokens)}
+    n_vocab = len(vocab_tokens)
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    spark = docs.sparkSession
+    # id->token mapping as a broadcast join, not a 2000-element array
+    # literal: giant flat literal trees are a planning hazard (CLAUDE.md)
+    id_map = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab_tokens)], "tid int, token string"
+    )
+
+    grouped = docs.groupBy(F.col(text_col).alias("text")).agg(
+        F.count("*").alias("d")
+    )
+
+    def _count(batches):
+        counts = np.zeros((n_vocab, n_vocab), dtype=np.int64)
+        for pdf in batches:
+            for text, d in zip(pdf["text"], pdf["d"]):
+                toks = ws_re.split((text or "").lower())
+                ids = np.fromiter(
+                    (tok2id.get(t, -1) for t in toks if t != ""),
+                    dtype=np.int64,
+                )
+                if ids.size < 2:
+                    continue
+                weight = int(d) * int(d)
+                for delta in range(1, window + 1):
+                    if delta >= ids.size:
+                        break
+                    a = ids[:-delta]
+                    b = ids[delta:]
+                    m = (a >= 0) & (b >= 0)
+                    if m.any():
+                        np.add.at(counts, (a[m], b[m]), weight)
+        wi, ci = np.nonzero(counts)
+        yield pd.DataFrame(
+            {"wi": wi, "ci": ci, "n": counts[wi, ci]}
+        )
+
+    partials = grouped.mapInPandas(
+        _count, schema="wi int, ci int, n long"
+    )
+    return (
+        partials.groupBy("wi", "ci")
+        .agg(F.sum("n").alias("n"))
+        .join(F.broadcast(id_map), F.col("wi") == F.col("tid"))
+        .select(F.col("token").alias("w"), "ci", "n")
+        .join(F.broadcast(id_map), F.col("ci") == F.col("tid"))
+        .select("w", F.col("token").alias("c"), "n")
+        # identical directed->ordered fold to the spec op
+        .select(
+            F.least("w", "c").alias("w"),
+            F.greatest("w", "c").alias("c"),
+            "n",
+        )
+        .groupBy("w", "c")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 def token_cooccurrence(
     docs: DataFrame,
     text_col: str = "text",
     window: int = 4,
     min_count: int = 2,
     max_vocab: int = 2_000,
+    fast: bool = True,
 ) -> tuple[List[tuple], Dict[str, int]]:
     """Distributed co-occurrence counting.
 
     Returns (rows, vocab_counts): rows = [(w, c, n), ...] with w < c (the
     symmetric half; the factorization mirrors it), vocab_counts = token ->
     corpus frequency for the capped vocabulary.  Both are vocabulary-sized
-    (driver-safe); the corpus-sized work is all in the DataFrame job."""
+    (driver-safe); the corpus-sized work is all in the DataFrame job.
+
+    ``fast=True`` (default) routes the counting through
+    :func:`cooccurrence_counts_fast` (numpy partial matrices, parity-pinned
+    bit-identical); ``fast=False`` keeps the spec join — the ``cooccur``
+    oracle path and the parity test's reference leg."""
     vocab_df = vocab_frame(docs, text_col, min_count, max_vocab)
     vocab_rows = vocab_df.collect()
     vocab_counts = {r["token"]: int(r["n"]) for r in vocab_rows}
     spark = docs.sparkSession
-    cooc = cooccurrence_frame(
-        docs, text_col, window, min_count, max_vocab,
-        # re-create the collected vocabulary as a literal frame: the
-        # co-occurrence job then broadcasts it without re-running the
-        # vocab aggregation over the corpus
-        vocab_df=spark.createDataFrame(
-            [(t,) for t in vocab_counts], "token string"
-        ) if vocab_rows else vocab_df.select("token"),
-    )
+    if fast:
+        cooc = cooccurrence_counts_fast(
+            docs, sorted(vocab_counts), text_col, window
+        )
+    else:
+        cooc = cooccurrence_frame(
+            docs, text_col, window, min_count, max_vocab,
+            # re-create the collected vocabulary as a literal frame: the
+            # co-occurrence job then broadcasts it without re-running the
+            # vocab aggregation over the corpus
+            vocab_df=spark.createDataFrame(
+                [(t,) for t in vocab_counts], "token string"
+            ) if vocab_rows else vocab_df.select("token"),
+        )
     rows = [(r["w"], r["c"], int(r["n"])) for r in cooc.collect()]
     return rows, vocab_counts
 

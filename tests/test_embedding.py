@@ -96,6 +96,59 @@ def test_cooccurrence_join_is_equi_keyed_on_doc_and_pos(spark):
         assert "<=" not in line and ">" not in line.split("Inner")[1], line
 
 
+def test_fast_cooccurrence_bit_identical_to_spec_join(spark):
+    """Round-5 parity pin (the repo's simhash pattern): the numpy
+    partial-count fast path (``cooccurrence_counts_fast`` — per-partition
+    vocab x vocab ``np.add.at`` matrices, vocab-pair-sized shuffle) must be
+    BIT-IDENTICAL to the spec (doc, pos) equi-join, which stays as the
+    ``cooccur`` oracle.  The corpus deliberately carries every parity
+    hazard:
+
+    - byte-identical duplicate documents (the spec's xxhash64(text) doc key
+      collapses d copies onto one join key -> d^2 directed matches; the
+      fast path pre-groups on text and weights by d^2);
+    - tab/multi-space runs and leading/trailing whitespace (Java \\s+);
+    - a NBSP-joined token (Java \\s does NOT split U+00A0 — neither may
+      the Python stage; ``str.split()`` would and is therefore banned);
+    - out-of-vocabulary tokens interleaved between kept ones (positions
+      are global over ALL tokens, not vocab-filtered ones);
+    - a one-token document and an empty-ish document (no pairs).
+    """
+    from ontologybasedkgcreation_spark.operators.embedding import (
+        token_cooccurrence,
+    )
+
+    rows = []
+    i = 0
+    for t in TEMPLATES:
+        rows.append((i, t.format(a="apex court")))
+        i += 1
+    # three byte-identical duplicates -> d=3, weight 9 on the spec leg
+    for _ in range(3):
+        rows.append((i, "the apex court dismissed the appeal today"))
+        i += 1
+    rows += [
+        (i, "  court\tapex  joined court   apex  "),  # NBSP token
+        (i + 1, "xzqv court plmk apex wqrt court"),  # OOV interleave
+        (i + 2, "court"),
+        (i + 3, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    slow_rows, slow_vocab = token_cooccurrence(
+        docs, "text", window=3, min_count=2, max_vocab=100, fast=False
+    )
+    fast_rows, fast_vocab = token_cooccurrence(
+        docs, "text", window=3, min_count=2, max_vocab=100, fast=True
+    )
+    assert fast_vocab == slow_vocab
+    assert sorted(fast_rows) == sorted(slow_rows)
+    # the d^2 duplicate weighting actually bit on this corpus: the dup
+    # sentence's (apex, court) adjacency alone contributes 9 (3 copies
+    # squared), so the pair's total exceeds what d=1 rows could produce
+    pair_n = {(w, c): n for w, c, n in fast_rows}[("apex", "court")]
+    assert pair_n >= 9
+
+
 def test_distributional_similarity_orders_correctly(trained):
     """Tokens sharing contexts embed close; unrelated tokens don't — and
     retraining is deterministic (eigh + sign convention, no RNG)."""
