@@ -807,6 +807,47 @@ def q_media_decode_jpeg(spark, sf_dir):
     )
 
 
+def q_media_decode_video(spark, sf_dir):
+    """REAL video decode under the value-hash gate: per document a
+    3-frame MJPEG AVI (16x16 flat-gray frames, frame f's value a pure
+    function of doc_id) is built with the clean-room RIFF/AVI writer
+    (operators/avi.py) and FRAME-SAMPLED every 200 ms at 10 fps — frames
+    0 and 2 only, exercising the container walk + index-restricted T.81
+    decode that makes 100 TB video sampling tractable.  Flat gray at q95
+    is provably pixel-exact (jpeg.py proof), so the oracle computes the
+    sampled-pixel sum arithmetically: 256 * (v0 + v2)."""
+    import numpy as np
+    import pandas as pd
+
+    from ontologybasedkgcreation_spark.operators.avi import (
+        avi_metadata,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            sums = []
+            for did in pdf["doc_id"]:
+                frames = [
+                    np.full((16, 16), (int(did) * 11 + 53 * f) % 256, np.uint8)
+                    for f in range(3)
+                ]
+                payload = encode_avi_mjpeg(frames, fps=10, quality=95)
+                meta = avi_metadata(payload)
+                step = max(int(round(200 * meta["fps"] / 1000.0)), 1)
+                idx = list(range(0, meta["n_frames"], step))
+                dec = decode_avi_mjpeg(payload, indices=idx)["frames"]
+                sums.append(int(sum(int(fr.sum()) for fr in dec)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixel_sum": sums})
+
+    return d.select("doc_id").mapInPandas(
+        _roundtrip, schema="doc_id long, pixel_sum long"
+    )
+
+
 def q_stream_window(spark, sf_dir):
     """The watermarked event-time window aggregation of the streaming
     ingest path (page_rate_metrics) run END-TO-END as a bounded stream:
@@ -959,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labels": q_graph_labels,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
+        "media_decode_video": q_media_decode_video,
         "media_bytes": q_media_bytes,
         "stream_dedup": q_stream_dedup,
         "stream_window": q_stream_window,
@@ -1519,6 +1561,16 @@ FROM documents
 SELECT doc_id,
        CAST((SELECT sum(64 * ((doc_id * 13 + 37 * q) % 256))
              FROM unnest(generate_series(0, 3)) AS t(q)) AS BIGINT)
+           AS pixel_sum
+FROM documents
+""",
+        # media_decode_video: 3 flat 16x16 frames, sampled every 200 ms
+        # at 10 fps -> frames 0 and 2 decode; flat gray at q95 is exact,
+        # so the sampled sum is 256 * (v0 + v2)
+        "media_decode_video": """
+SELECT doc_id,
+       CAST((SELECT sum(256 * ((doc_id * 11 + 53 * f) % 256))
+             FROM unnest([0, 2]) AS t(f)) AS BIGINT)
            AS pixel_sum
 FROM documents
 """,

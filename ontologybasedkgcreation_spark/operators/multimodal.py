@@ -13,11 +13,14 @@ uncompressed 24-bit BMP layout, ``decode_wav`` uses the stdlib ``wave``
 reader, and ``jpeg.decode_jpeg`` implements ITU-T T.81 baseline
 sequential DCT (Huffman + dequant + IDCT, 4:4:4/4:2:2/4:2:0, restart
 markers) — so ``decoder='real'`` performs ACTUAL media decode
-end-to-end, plus ``resize_nearest`` for real downsampling.  Video
-containers (inter-frame codecs, not stdlib-implementable) still raise
-``NotImplementedError`` at the ``decode_stub`` integration point;
-``decoder='fake'`` remains the deterministic byte-histogram double for
-shape tests.
+end-to-end, plus ``resize_nearest`` for real downsampling.  Round 5 adds
+REAL video for the one codec-free container: MJPEG-in-AVI (``avi.py`` —
+RIFF chunk walking + per-frame T.81 JPEG), with
+``frame_sample_features`` decoding ONLY the sampled frames.
+Codec-compressed video (H.264/VP9/AV1 — entropy coders not
+stdlib-implementable) remains the ``NotImplementedError``
+``decode_stub`` integration point; ``decoder='fake'`` remains the
+deterministic byte-histogram double for shape tests.
 
 At 100 TB the payload column dominates I/O: keep it in its own parquet column
 (column pruning skips it unless a decode stage runs), partition by content
@@ -59,15 +62,16 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Integration point for formats needing external codecs (video
-    containers — inter-frame codecs are not stdlib-implementable).
-    PNG/BMP/WAV and baseline JPEG decode is REAL (decode_png / decode_bmp
-    / decode_wav / jpeg.decode_jpeg)."""
+    """Integration point for formats needing external codecs
+    (codec-compressed video: H.264/VP9/AV1 inter-frame entropy coders are
+    not stdlib-implementable).  PNG/BMP/WAV, baseline JPEG, and
+    MJPEG-in-AVI video decode is REAL (decode_png / decode_bmp /
+    decode_wav / jpeg.decode_jpeg / avi.decode_avi_mjpeg)."""
     raise NotImplementedError(
         "decoding this format requires codecs not present in this "
-        "environment (video: plug pyav / torchvision in here); PNG, BMP, "
-        "WAV and baseline JPEG payloads are decoded natively by "
-        "decoder='real'"
+        "environment (compressed video: plug pyav / torchvision in "
+        "here); PNG, BMP, WAV, baseline JPEG and MJPEG AVI payloads are "
+        "decoded natively by decoder='real'"
     )
 
 
@@ -261,11 +265,32 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[ys[:, None], xs[None, :]]
 
 
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 -> the 16-dim image feature vector (mean/std per
+    up-to-4 channels scaled 0-1, then an L1-normalized 8-bin luminance
+    histogram) — shared by the still-image and video-frame paths."""
+    out = np.zeros(16, dtype=np.float32)
+    img = img.astype(np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    ch = img.shape[2]
+    for c in range(min(ch, 4)):
+        out[c] = img[..., c].mean() / 255.0
+        out[4 + c] = img[..., c].std() / 255.0
+    lum = img[..., : min(ch, 3)].mean(axis=2)
+    hist = np.histogram(lum, bins=8, range=(0.0, 256.0))[0].astype(np.float32)
+    out[8:16] = hist / max(hist.sum(), 1.0)
+    return out
+
+
 def decode_real(payload: bytes, kind: str) -> np.ndarray:
     """REAL decode -> 16-dim float32 feature vector.
 
-    - PNG image: [mean/std per up-to-4 channels (scaled 0-1), then an
-      8-bin luminance histogram (L1-normalized)];
+    - PNG/BMP/JPEG image: [mean/std per up-to-4 channels (scaled 0-1),
+      then an 8-bin luminance histogram (L1-normalized)];
+    - MJPEG AVI video: the image features of the FIRST frame (the
+      thumbnail convention; per-frame features come from
+      ``frame_sample_features``, which decodes only sampled frames);
     - WAV audio: [rms, zero-crossing rate, duration_s (capped 1), channels/8,
       then an 8-bin absolute-amplitude histogram, then 4 zeros];
     - anything else: the documented NotImplementedError integration point.
@@ -284,17 +309,12 @@ def decode_real(payload: bytes, kind: str) -> np.ndarray:
             from .jpeg import decode_jpeg
 
             img = decode_jpeg(payload)
-        img = img.astype(np.float32)
-        ch = img.shape[2]
-        for c in range(min(ch, 4)):
-            out[c] = img[..., c].mean() / 255.0
-            out[4 + c] = img[..., c].std() / 255.0
-        lum = img[..., : min(ch, 3)].mean(axis=2)
-        hist = np.histogram(lum, bins=8, range=(0.0, 256.0))[0].astype(
-            np.float32
-        )
-        out[8:16] = hist / max(hist.sum(), 1.0)
-        return out
+        return _image_features(img)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .avi import decode_avi_mjpeg
+
+        frames = decode_avi_mjpeg(payload, indices=[0])["frames"]
+        return _image_features(frames[0]) if frames else out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         wav = decode_wav(payload)
         s = wav["samples"].astype(np.float32) / 32768.0
@@ -349,6 +369,49 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
     return df.select("media_id", "kind", "payload").mapInPandas(
         _feat, schema=FEATURES_SCHEMA
+    )
+
+
+def frame_sample_features(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: for each MJPEG-AVI payload, decode ONE
+    frame per ``every_ms`` of media time and emit its image features —
+    (media_id, frame_ts_ms, features array<float>).
+
+    Scale shape: the container walk (`avi.avi_frame_payloads`) extracts
+    the sampled frames' JPEG bytes by chunk-offset arithmetic, so decode
+    cost is O(sampled frames), never O(all frames) — at 100 TB of video
+    this is the whole ballgame.  One Arrow stage; a task holds a batch
+    of payloads, so size ``spark.sql.files.maxPartitionBytes`` for a few
+    hundred payloads per task (module docstring)."""
+    from .avi import avi_metadata, decode_avi_mjpeg
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tss, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload or b"")
+                meta = avi_metadata(payload)
+                fps = meta["fps"]
+                if not fps or not meta["n_frames"]:
+                    continue
+                step = max(int(round(every_ms * fps / 1000.0)), 1)
+                idx = list(range(0, meta["n_frames"], step))
+                frames = decode_avi_mjpeg(payload, indices=idx)["frames"]
+                for i, img in zip(idx, frames):
+                    ids.append(mid)
+                    tss.append(int(round(i * 1000.0 / fps)))
+                    feats.append(_image_features(img).tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ts_ms": tss, "features": feats}
+            )
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(
+            _sample,
+            schema="media_id long, frame_ts_ms long, features array<float>",
+        )
     )
 
 

@@ -404,3 +404,67 @@ def test_bmp_decode_roundtrip():
     white = np.full((6, 5, 3), 255, dtype=np.uint8)
     f = multimodal.decode_real(multimodal.encode_bmp(white), "image")
     assert abs(f[0] - 1.0) < 1e-6 and abs(f[15] - 1.0) < 1e-6
+
+
+def test_avi_mjpeg_roundtrip_and_metadata():
+    """Round-5: REAL video — MJPEG-in-AVI container (avi.py, public RIFF
+    spec) over the T.81 JPEG codec.  Flat gray frames at q95 are pixel-
+    exact frame-by-frame (the jpeg.py exactness proof carries over), the
+    header probe reads fps/frames/dims without touching frame data, and
+    index-restricted decode touches only the requested frames."""
+    import numpy as np
+
+    from ontologybasedkgcreation_spark.operators import avi
+
+    frames = [np.full((16, 16), v, dtype=np.uint8) for v in (7, 131, 247)]
+    payload = avi.encode_avi_mjpeg(frames, fps=10, quality=95)
+    meta = avi.avi_metadata(payload)
+    assert (meta["width"], meta["height"]) == (16, 16)
+    assert meta["n_frames"] == 3 and meta["fps"] == 10.0
+    assert meta["duration_ms"] == 300 and meta["handler"] == "MJPG"
+    dec = avi.decode_avi_mjpeg(payload)
+    assert len(dec["frames"]) == 3
+    for got, want in zip(dec["frames"], frames):
+        assert np.array_equal(got.squeeze(), want)
+    # sampling path: only the requested frames are decoded
+    sub = avi.decode_avi_mjpeg(payload, indices=[0, 2])["frames"]
+    assert [int(f.mean()) for f in sub] == [7, 247]
+    # RGB through chroma subsampling survives the container roundtrip
+    rgb = [np.full((16, 16, 3), v, dtype=np.uint8) for v in (5, 200)]
+    d2 = avi.decode_avi_mjpeg(
+        avi.encode_avi_mjpeg(rgb, fps=5, quality=90, subsampling="420")
+    )
+    assert [f.shape for f in d2["frames"]] == [(16, 16, 3)] * 2
+    # truncated payload (web-crawl reality): surviving frames still parse
+    assert len(avi.avi_frame_payloads(payload[: len(payload) // 2])) == 2
+    with pytest.raises(ValueError, match="AVI"):
+        avi.avi_metadata(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="frame"):
+        avi.encode_avi_mjpeg([])
+
+
+def test_video_decode_and_frame_sampling_in_spark(spark):
+    """decoder='real' decodes an MJPEG AVI (first-frame features), and
+    frame_sample_features emits one decoded-feature row per every_ms with
+    only the sampled frames paying decode cost."""
+    import numpy as np
+
+    from ontologybasedkgcreation_spark.operators import avi
+
+    frames = [np.full((16, 16), v, dtype=np.uint8) for v in (10, 60, 110, 160)]
+    payload = bytearray(avi.encode_avi_mjpeg(frames, fps=10, quality=95))
+    df = spark.createDataFrame(
+        [(9, "video", payload, ("video/x-msvideo", 16, 16, 400))],
+        multimodal.MEDIA_SCHEMA_DDL,
+    )
+    feats = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(df, decoder="real").collect()
+    }
+    assert abs(feats[9][0] - 10 / 255.0) < 1e-6  # first-frame mean
+    # every 200 ms at 10 fps -> frames 0 and 2 (ts 0 and 200)
+    rows = multimodal.frame_sample_features(df, every_ms=200).collect()
+    got = {r["frame_ts_ms"]: r["features"][0] for r in rows}
+    assert set(got) == {0, 200}
+    assert abs(got[0] - 10 / 255.0) < 1e-6
+    assert abs(got[200] - 110 / 255.0) < 1e-6
