@@ -737,6 +737,22 @@ def q_graph_labels(spark, sf_dir):
     return label_connections(nodes, edges)
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (graph_query.pagerank — the deterministic
+    analog of the Neo4j GDS centrality call beside the reference's Cypher
+    surface): 3 damped iterations with dangling-mass redistribution over
+    the Customer->Nation->Region graph; ranks sum to 1 every iteration.
+    Scores round(…,9) for hash stability (the bm25_adopt convention)."""
+    from ontologybasedkgcreation_spark.operators.graph_query import pagerank
+
+    nodes, edges = _tpch_graph(spark, sf_dir)
+    return pagerank(
+        edges.select("src_key", "dst_key"),
+        iterations=3,
+        vertices=nodes.select("node_key"),
+    ).select("node_key", F.round("rank", 9).alias("rank"))
+
+
 def q_media_decode(spark, sf_dir):
     """REAL image decode under the value-hash gate: per document, a 4x4
     grayscale PNG whose pixels are a pure function of doc_id
@@ -998,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_match": q_graph_match,
         "graph_khop": q_graph_khop,
         "graph_labels": q_graph_labels,
+        "graph_pagerank": q_graph_pagerank,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_video": q_media_decode_video,
@@ -1511,6 +1528,57 @@ WHERE EXISTS (SELECT 1 FROM customer)
 UNION ALL
 SELECT 'Nation', 'inRegion', 'Region'
 WHERE EXISTS (SELECT 1 FROM nation)
+""",
+        # graph_pagerank: 3 damped iterations unrolled as chained CTEs —
+        # dangling mass redistributed uniformly each round (Region nodes
+        # are sinks), arithmetic written (1.0-0.85)/n etc. to match the
+        # engine's Python-double constants bit-for-bit; round(…,9) absorbs
+        # sum-order epsilon (the bm25_adopt convention)
+        "graph_pagerank": """
+WITH verts AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS k FROM customer
+  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR) FROM nation
+  UNION ALL SELECT 'r:' || CAST(r_regionkey AS VARCHAR) FROM region
+), e AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS src,
+         'n:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL
+  SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+         'r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+), p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+od AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+r0 AS (SELECT k, 1.0 / (SELECT n FROM p) AS r FROM verts),
+d1 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r0
+       WHERE k NOT IN (SELECT src FROM od)),
+c1 AS (SELECT e.dst AS k, sum(r0.r / od.deg) AS s
+       FROM e JOIN r0 ON r0.k = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT v.k,
+              (1.0 - 0.85) / (SELECT n FROM p)
+              + 0.85 * (coalesce(c1.s, 0.0)
+                        + (SELECT dm FROM d1) / (SELECT n FROM p)) AS r
+       FROM verts v LEFT JOIN c1 ON c1.k = v.k),
+d2 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r1
+       WHERE k NOT IN (SELECT src FROM od)),
+c2 AS (SELECT e.dst AS k, sum(r1.r / od.deg) AS s
+       FROM e JOIN r1 ON r1.k = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT v.k,
+              (1.0 - 0.85) / (SELECT n FROM p)
+              + 0.85 * (coalesce(c2.s, 0.0)
+                        + (SELECT dm FROM d2) / (SELECT n FROM p)) AS r
+       FROM verts v LEFT JOIN c2 ON c2.k = v.k),
+d3 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r2
+       WHERE k NOT IN (SELECT src FROM od)),
+c3 AS (SELECT e.dst AS k, sum(r2.r / od.deg) AS s
+       FROM e JOIN r2 ON r2.k = e.src JOIN od ON od.src = e.src
+       GROUP BY e.dst),
+r3 AS (SELECT v.k,
+              (1.0 - 0.85) / (SELECT n FROM p)
+              + 0.85 * (coalesce(c3.s, 0.0)
+                        + (SELECT dm FROM d3) / (SELECT n FROM p)) AS r
+       FROM verts v LEFT JOIN c3 ON c3.k = v.k)
+SELECT k AS node_key, round(r, 9) AS rank FROM r3
 """,
         # cooccur: windowed co-occurrence over the capped vocabulary —
         # positions via LATERAL generate_series (1-based), the same

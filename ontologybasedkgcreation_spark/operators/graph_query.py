@@ -165,6 +165,88 @@ def k_hop(
     return seen
 
 
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    vertices: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the edge table -> (node_key, rank).
+
+    The reference serves its KG from Neo4j, where centrality ranking is
+    the standard Graph-Data-Science call beside the Cypher surface this
+    module mirrors (``match_chain``/``k_hop``); this is the deterministic
+    DataFrame equivalent.  Full formulation with dangling-mass
+    redistribution::
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
+
+    so ``sum(rank) == 1`` at every iteration (sink nodes teleport their
+    mass uniformly rather than leaking it).
+
+    Scale shape: each iteration is two key-shuffles (rank⋈edges on the
+    source key, then a map-side-combinable sum by destination) plus a
+    left join back to the vertex set — no driver-side state beyond the
+    scalar N, and the dangling mass rides as a LAZY 1-row aggregate
+    broadcast-cross-joined into the plan, so each round is exactly ONE
+    action (the eager ``localCheckpoint`` that also bounds lineage, the
+    CC discipline).  Iterations are fixed, never convergence-polled: at
+    10^12 edges a fixed small k (3-10) is the budgeted form; pass the
+    vertex frame explicitly when it is already materialized to skip the
+    union-distinct derivation."""
+    fwd = edges.select(
+        F.col("src_key").alias("u"), F.col("dst_key").alias("v")
+    )
+    if vertices is not None:
+        verts = vertices.select(
+            F.col(vertices.columns[0]).alias("node_key")
+        ).distinct()
+    else:
+        verts = (
+            fwd.select(F.col("u").alias("node_key"))
+            .unionByName(fwd.select(F.col("v").alias("node_key")))
+            .distinct()
+        )
+    verts = verts.localCheckpoint()
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    outdeg = fwd.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        rated = ranks.join(
+            outdeg, ranks["node_key"] == outdeg["u"], "left"
+        ).select("node_key", "rank", "deg")
+        # sink mass: one lazy scalar row, broadcast into every partition —
+        # no extra action, no driver round-trip
+        dangling = rated.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
+        )
+        contribs = (
+            rated.filter(F.col("deg").isNotNull())
+            .join(fwd, rated["node_key"] == fwd["u"])
+            .groupBy("v")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            verts.join(contribs, verts["node_key"] == contribs["v"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node_key",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def label_connections(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Schema summary — DISTINCT (from_label, rel_type, to_label), the
     reference's ``get_label_connections`` (utils.py:30-36): what a

@@ -10,6 +10,7 @@ from ontologybasedkgcreation_spark.operators.graph_query import (
     k_hop,
     label_connections,
     match_chain,
+    pagerank,
 )
 
 
@@ -125,3 +126,87 @@ def test_label_connections_schema_summary(spark, graph):
     assert ("CourtCase", "hasRulingOf", "Court") in {
         (r["from_label"], r["rel_type"], r["to_label"]) for r in summary
     }
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """pagerank == an independent pure-Python power iteration on a small
+    graph with a sink (dangling mass must be redistributed, so ranks sum
+    to 1 every round), and more-cited nodes outrank less-cited ones."""
+    es = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c")]  # c is a sink
+    edges = spark.createDataFrame(es, "src_key string, dst_key string")
+
+    def ref(iters, d=0.85):
+        verts = sorted({x for e in es for x in e})
+        n = len(verts)
+        out = {}
+        for s, _ in es:
+            out[s] = out.get(s, 0) + 1
+        r = {v: 1.0 / n for v in verts}
+        for _ in range(iters):
+            dangling = sum(r[v] for v in verts if v not in out)
+            contrib = {v: 0.0 for v in verts}
+            for s, t in es:
+                contrib[t] += r[s] / out[s]
+            r = {
+                v: (1.0 - d) / n + d * (contrib[v] + dangling / n)
+                for v in verts
+            }
+        return r
+
+    for iters in (1, 3):
+        got = {
+            row["node_key"]: row["rank"]
+            for row in pagerank(edges, iterations=iters).collect()
+        }
+        want = ref(iters)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the sink collects every path: it must rank highest
+    final = {r["node_key"]: r["rank"] for r in pagerank(edges).collect()}
+    assert max(final, key=final.get) == "c"
+    # explicit vertex frame: isolated nodes get teleport-only mass
+    verts = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("lonely",)], "node_key string"
+    )
+    with_iso = {
+        r["node_key"]: r["rank"]
+        for r in pagerank(edges, iterations=2, vertices=verts).collect()
+    }
+    assert "lonely" in with_iso and with_iso["lonely"] > 0
+    assert sum(with_iso.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_over_engine_graph(spark, graph):
+    """Centrality over the engine's own KG matches an independent
+    pure-Python power iteration on the collected edge list exactly
+    (multigraph edges counted individually), and is a probability
+    distribution (sum 1, all positive)."""
+    _, edges = graph
+    es = [
+        (r["src_key"], r["dst_key"])
+        for r in edges.select("src_key", "dst_key").collect()
+    ]
+    pr = pagerank(edges.select("src_key", "dst_key"), iterations=3)
+    got = {r["node_key"]: r["rank"] for r in pr.collect()}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(v > 0 for v in got.values())
+
+    verts = sorted({x for e in es for x in e})
+    n = len(verts)
+    out = {}
+    for s, _ in es:
+        out[s] = out.get(s, 0) + 1
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(3):
+        dangling = sum(r[v] for v in verts if v not in out)
+        contrib = {v: 0.0 for v in verts}
+        for s, t in es:
+            contrib[t] += r[s] / out[s]
+        r = {
+            v: 0.15 / n + 0.85 * (contrib[v] + dangling / n) for v in verts
+        }
+    assert set(got) == set(r)
+    for v in verts:
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
