@@ -644,6 +644,34 @@ def q_cooccur(spark, sf_dir):
     ).select("w", "c", F.col("n").cast("long").alias("n"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """Training-data PII scrub (text_analysis.redact_pii): deterministic
+    PII — an email, a +international phone, an IPv4 — is synthesized from
+    doc_id onto each document, then redacted stage-by-stage with typed
+    placeholders and per-type counts.  The oracle replays the identical
+    construction and RE2-compatible regexes replace-for-replace."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        redact_pii,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.substring("text", 1, 80),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or +91 "),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0"),
+        F.lit("-12345 from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(" today"),
+    )
+    return redact_pii(
+        d.select("doc_id", pii_text.alias("text")), "doc_id", "text"
+    )
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -1006,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
+        "pii_redact": q_pii_redact,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
@@ -1410,6 +1439,42 @@ FROM documents
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
 FROM documents
+""",
+        # pii_redact: the identical synthetic-PII construction, then the
+        # same three RE2-compatible regexes replayed replace-for-replace —
+        # counts taken stage-by-stage on the progressively redacted text
+        # exactly as the engine does (no lookarounds, ASCII classes only)
+        "pii_redact": r"""
+WITH base AS (
+  SELECT doc_id,
+         substring(text, 1, 80)
+         || ' reach user' || CAST(doc_id AS VARCHAR)
+         || '@example.org or +91 '
+         || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+         || '-12345 from 10.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.0.' || CAST(doc_id % 200 AS VARCHAR) || ' today' AS t0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(
+             t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(
+             t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM base
+), s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+         regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '\+\d[\d().\-\s]{6,}\d', '<PHONE>', 'g') AS redacted,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '\+\d[\d().\-\s]{6,}\d')) AS BIGINT)
+           AS n_phones
+FROM s2
 """,
         # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
         # round to 9 decimals BEFORE ranking (float sums are order-dependent

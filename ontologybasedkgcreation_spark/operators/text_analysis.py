@@ -103,3 +103,39 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
         ).alias("fingerprint"),
     )
+
+
+# PII patterns chosen to evaluate identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): ASCII classes, \b boundaries, greedy quantifiers,
+# no lookarounds/backrefs (RE2 has neither).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d[\d().\-\s]{6,}\d"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Training-data PII scrub: emails, IPv4 addresses and +international
+    phone numbers replaced by typed placeholders, with per-type counts —
+    (id, redacted, n_emails, n_ips, n_phones).
+
+    Counts are taken STAGE-BY-STAGE on the progressively redacted text
+    (emails first, then IPs on the email-redacted text, then phones) so
+    the semantics are order-unambiguous and an oracle can replay them
+    replace-for-replace.  Pure ``regexp_replace``/``regexp_extract_all``
+    — whole-stage codegen, zero Python, trivially partition-parallel at
+    100 TB.  A production deployment widens the pattern set (names/NER
+    need a model); the column contract stays fixed."""
+    t0 = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), F.lit(0)))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), F.lit(0)))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        t3.alias("redacted"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )

@@ -468,3 +468,30 @@ def test_video_decode_and_frame_sampling_in_spark(spark):
     assert set(got) == {0, 200}
     assert abs(got[0] - 10 / 255.0) < 1e-6
     assert abs(got[200] - 110 / 255.0) < 1e-6
+
+
+def test_redact_pii(spark):
+    """Typed placeholders with stage-by-stage counts; non-PII digits and
+    bare words survive; multiple hits of one type all redact."""
+    rows = [
+        (1, "mail a.b-c+1@ex-ample.co.uk and x@y.io, call +44 20 7946 0958"),
+        (2, "server 192.168.0.1 and 10.0.0.255; port 8080 is fine"),
+        (3, "no pii here, just 12345 and v1.2 of the doc"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in text_analysis.redact_pii(df, "doc_id", "text").collect()
+    }
+    assert got[1]["n_emails"] == 2 and got[1]["n_phones"] == 1
+    assert "<EMAIL>" in got[1]["redacted"]
+    assert "a.b-c+1@" not in got[1]["redacted"]
+    assert got[1]["redacted"].count("<EMAIL>") == 2
+    assert "<PHONE>" in got[1]["redacted"]
+    assert got[2]["n_ips"] == 2 and "<IP>" in got[2]["redacted"]
+    assert "192.168.0.1" not in got[2]["redacted"]
+    assert "port 8080 is fine" in got[2]["redacted"]  # bare digits survive
+    assert got[3]["redacted"] == rows[2][1]  # untouched
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
+    assert got[4]["redacted"] is None  # null text flows through
