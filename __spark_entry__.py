@@ -672,6 +672,28 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """Line-level boilerplate removal (text_analysis.strip_boilerplate —
+    the CCNet/RefinedWeb step): two per-source boilerplate lines are
+    synthesized around each document's unique content lines; lines whose
+    normalized hash repeats across >=3 distinct docs of one source are
+    stripped, order preserved."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        strip_boilerplate,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    multi = F.concat(
+        F.lit("visit "), F.col("source"), F.lit(" homepage\n"),
+        F.substring("text", 1, 60), F.lit("\ncopyright "),
+        F.col("source"), F.lit("\n"), F.substring("text", 61, 60),
+    )
+    return strip_boilerplate(
+        d.select("doc_id", "source", multi.alias("text")),
+        "doc_id", "text", "source", min_docs=3,
+    )
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -1035,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "pii_redact": q_pii_redact,
+        "boilerplate_strip": q_boilerplate_strip,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
@@ -1475,6 +1498,36 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(t2, '\+\d[\d().\-\s]{6,}\d')) AS BIGINT)
            AS n_phones
 FROM s2
+""",
+        # boilerplate_strip: identical multi-line construction, identical
+        # (source, md5(lower(trim(line)))) >=3-distinct-docs rule, ordered
+        # reassembly via string_agg (aggregates skip the NULL-cased
+        # boilerplate lines, matching the engine's filtered array_join)
+        "boilerplate_strip": """
+WITH base AS (
+  SELECT doc_id, source,
+         'visit ' || source || ' homepage' || chr(10)
+         || substring(text, 1, 60) || chr(10)
+         || 'copyright ' || source || chr(10)
+         || substring(text, 61, 60) AS t
+  FROM documents
+), split AS (
+  SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM base
+), lines AS (
+  SELECT doc_id, source, i AS pos, ls[i] AS line,
+         md5(lower(trim(ls[i]))) AS hh
+  FROM split, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)
+), boiler AS (
+  SELECT source, hh FROM lines WHERE trim(line) <> ''
+  GROUP BY source, hh HAVING count(DISTINCT doc_id) >= 3
+)
+SELECT l.doc_id,
+       coalesce(string_agg(CASE WHEN b.hh IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.pos), '') AS clean_text,
+       CAST(count(b.hh) AS BIGINT) AS n_boilerplate_lines
+FROM lines l
+LEFT JOIN boiler b ON l.source = b.source AND l.hh = b.hh
+GROUP BY l.doc_id
 """,
         # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
         # round to 9 decimals BEFORE ranking (float sums are order-dependent

@@ -139,3 +139,51 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_ips.cast("long").alias("n_ips"),
         n_phones.cast("long").alias("n_phones"),
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb web-pipeline
+    step): a non-empty line whose normalized hash appears in >= min_docs
+    DISTINCT documents of the same group (site/domain/source) is
+    boilerplate — navigation, cookie banners, copyright footers — and is
+    stripped; content lines are unique-ish and survive.  Returns
+    (id, clean_text, n_boilerplate_lines) with line order preserved.
+
+    Scale shape: one line explode, one map-side-combinable
+    (group, line_hash) distinct-doc count, one join back on that key, one
+    reassembly groupBy — no driver state, no per-row Python; the
+    boilerplate table is per-group bounded (distinct repeated lines
+    only), so AQE picks broadcast when a group's boilerplate set is
+    small.  At 100 TB partition the line frame by the group key: the
+    count and the join then reuse one exchange."""
+    lines = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_grp"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5(F.lower(F.trim(F.col("_line")))))
+    boiler = (
+        lines.filter(F.trim(F.col("_line")) != "")
+        .groupBy("_grp", "_h")
+        .agg(F.countDistinct(id_col).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_grp", "_h", F.lit(1).alias("_b"))
+    )
+    marked = lines.join(boiler, ["_grp", "_h"], "left")
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("_pos", "_b", "_line"))),
+        lambda s: s["_b"].isNull(),
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(kept, lambda s: s["_line"]), "\n"
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boilerplate_lines"),
+    )

@@ -495,3 +495,39 @@ def test_redact_pii(spark):
     assert got[3]["redacted"] == rows[2][1]  # untouched
     assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
     assert got[4]["redacted"] is None  # null text flows through
+
+
+def test_strip_boilerplate(spark):
+    """Per-group repeated lines (>= min_docs distinct docs) are stripped
+    with order preserved; below-threshold repeats, other-group twins and
+    case/whitespace variants of content survive the group rule as one
+    normalized identity; an all-boilerplate doc comes back empty."""
+    nav, foot = "Home | About | Contact", "(c) example.com"
+    rows = [
+        (1, "a.com", f"{nav}\nunique one\n{foot}"),
+        (2, "a.com", f"{nav}\nunique two\n{foot}"),
+        (3, "a.com", f"  {nav.upper()}  \nunique three\n{foot}"),
+        (4, "a.com", f"{nav}\n{foot}"),
+        (5, "b.com", f"{nav}\nb-side content"),  # same line, other group
+        (6, "a.com", "twice only\nsolo line"),
+        (7, "a.com", "twice only\nanother solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in text_analysis.strip_boilerplate(
+            df, "doc_id", "text", "source", min_docs=3
+        ).collect()
+    }
+    assert got[1]["clean_text"] == "unique one"
+    assert got[1]["n_boilerplate_lines"] == 2
+    # normalization: upper/padded nav counts as the same line AND is
+    # stripped from doc 3 too
+    assert got[3]["clean_text"] == "unique three"
+    assert got[4]["clean_text"] == ""  # all boilerplate
+    assert got[4]["n_boilerplate_lines"] == 2
+    # group isolation: b.com has only 1 doc with nav -> kept
+    assert nav in got[5]["clean_text"]
+    # below threshold (2 < 3 docs) -> kept
+    assert got[6]["clean_text"].startswith("twice only")
+    assert got[7]["n_boilerplate_lines"] == 0
