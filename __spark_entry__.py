@@ -694,6 +694,28 @@ def q_boilerplate_strip(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (dedup.contamination_pairs — the
+    GPT-3/Llama n-gram collision rule): every 50th document is the held
+    'benchmark'; training docs sharing any 3-gram shingle with one are
+    flagged with the distinct-shared-gram count.  The eval side is
+    broadcast — the training side never shuffles."""
+    from ontologybasedkgcreation_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    return contamination_pairs(
+        d.filter(F.col("doc_id") % 50 != 0),
+        d.filter(F.col("doc_id") % 50 == 0),
+        "doc_id", "text", n=3,
+    ).select(
+        F.col("doc").alias("doc_id"),
+        F.col("eval_doc").alias("eval_id"),
+        "n_shared",
+    )
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -1058,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pii_redact": q_pii_redact,
         "boilerplate_strip": q_boilerplate_strip,
+        "decontaminate": q_decontaminate,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
@@ -1528,6 +1551,17 @@ SELECT l.doc_id,
 FROM lines l
 LEFT JOIN boiler b ON l.source = b.source AND l.hh = b.hh
 GROUP BY l.doc_id
+""",
+        # decontaminate: the same distinct 3-gram shingle sets; training
+        # docs (doc_id % 50 <> 0) sharing any shingle with an eval doc
+        # (doc_id % 50 = 0), counted per pair
+        "decontaminate": _SHINGLE_CTE
+        + """
+SELECT t.doc AS doc_id, e.doc AS eval_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sh t JOIN sh e ON t.shingle = e.shingle
+WHERE t.doc % 50 <> 0 AND e.doc % 50 = 0
+GROUP BY 1, 2
 """,
         # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
         # round to 9 decimals BEFORE ranking (float sums are order-dependent

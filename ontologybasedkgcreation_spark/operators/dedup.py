@@ -401,3 +401,33 @@ def resolve_duplicates(
         F.lit(1).cast("long").alias("group_size"),
     )
     return grouped.unionByName(singletons)
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Eval-set decontamination (the GPT-3/Llama rule: a training document
+    that shares any word n-gram with a benchmark document is contaminated
+    and must be dropped or scrubbed): (doc, eval_doc, n_shared) with
+    n_shared = DISTINCT shared n-grams.  Production uses n=13; tests use
+    smaller n for hit density.
+
+    Scale shape: the eval side is benchmark-sized (thousands of docs /
+    millions of grams — broadcastable), the training side streams through
+    one explode + one broadcast-hash join + one map-side-combinable
+    count: no shuffle of the 100 TB side at all.  Drop or scrub with an
+    anti-join on the returned doc column."""
+    train_sh = shingles(train, id_col, text_col, n)
+    eval_sh = (
+        shingles(eval_df, id_col, text_col, n)
+        .withColumnRenamed("doc", "eval_doc")
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc", "eval_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -531,3 +531,28 @@ def test_strip_boilerplate(spark):
     # below threshold (2 < 3 docs) -> kept
     assert got[6]["clean_text"].startswith("twice only")
     assert got[7]["n_boilerplate_lines"] == 0
+
+
+def test_contamination_pairs(spark):
+    """Planted 13-gram overlap is flagged with the exact distinct-gram
+    count, clean docs are absent, and the eval side is broadcast (the
+    training side must never shuffle)."""
+    from ontologybasedkgcreation_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    bench = "the quick brown fox jumps over the lazy dog near the old mill"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {bench} trailing words"),   # full 13-gram hit
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, bench),                                   # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    out = contamination_pairs(train, ev, "doc_id", "text", n=13)
+    got = {(r["doc"], r["eval_doc"]): r["n_shared"] for r in out.collect()}
+    assert set(got) == {(1, 100), (3, 100)}
+    assert got[(3, 100)] == 1  # 13 tokens -> exactly one 13-gram
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
