@@ -716,6 +716,21 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_pack_shards(spark, sf_dir):
+    """Sequence-packing shard assignment (text_analysis.pack_shards):
+    whitespace token counts laid into 4 md5-hash buckets, each bucket's
+    ordered stream split into 2048-token training shards — the
+    concatenate-then-split pretraining layout as an assignment table."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        pack_shards,
+        token_stats,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    counts = token_stats(d, "doc_id", "text").select("doc_id", "n_ws_tokens")
+    return pack_shards(counts, "doc_id", "n_ws_tokens", 2048, n_buckets=4)
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -1081,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "boilerplate_strip": q_boilerplate_strip,
         "decontaminate": q_decontaminate,
+        "pack_shards": q_pack_shards,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
@@ -1562,6 +1578,29 @@ SELECT t.doc AS doc_id, e.doc AS eval_id,
 FROM sh t JOIN sh e ON t.shingle = e.shingle
 WHERE t.doc % 50 <> 0 AND e.doc % 50 = 0
 GROUP BY 1, 2
+""",
+        # pack_shards: identical md5 bucket hash (15 hex chars -> 60-bit
+        # int, nonnegative in both engines), per-bucket running token sum
+        # ordered by doc_id, shard = floor(start/2048)
+        "pack_shards": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS nt,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              ::UBIGINT % 4 AS BIGINT) AS bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, nt,
+         sum(nt) OVER (PARTITION BY bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - nt AS start
+  FROM t
+)
+SELECT doc_id, bucket,
+       CAST(start AS BIGINT) AS start_offset,
+       CAST(floor(start / 2048) AS BIGINT) AS shard,
+       nt AS n_tokens
+FROM c
 """,
         # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
         # round to 9 decimals BEFORE ranking (float sums are order-dependent

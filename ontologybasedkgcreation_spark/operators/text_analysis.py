@@ -187,3 +187,53 @@ def strip_boilerplate(
         .cast("long")
         .alias("n_boilerplate_lines"),
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 1,
+) -> DataFrame:
+    """Sequence-packing shard assignment: documents are laid into a
+    deterministic concatenated token stream (ordered by id within a hash
+    bucket) and each document belongs to the training shard where its
+    first token lands — (id, bucket, start_offset, shard, n_tokens) with
+    ``shard = floor(start_offset / budget)``.  This is the standard
+    "concatenate then split every N tokens" pretraining layout, expressed
+    as an assignment table a writer can ``partitionBy(bucket, shard)``.
+
+    Scale shape: the running sum is a window WITHIN a bucket, so pick
+    ``n_buckets`` ≈ cluster cores and each bucket's ordered scan is
+    executor-sized — one hash exchange, no global sort, no driver state.
+    The bucket hash is md5-based (engine-portable, stable across runs);
+    n_buckets=1 reproduces the strict single-stream layout."""
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % n_buckets
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("_nt").over(w) - F.col("_nt")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(token_col).alias("_nt"),
+            bucket.alias("bucket"),
+        )
+        .select(
+            F.col(id_col),
+            "bucket",
+            start.cast("long").alias("start_offset"),
+            F.floor(start / F.lit(budget)).cast("long").alias("shard"),
+            F.col("_nt").cast("long").alias("n_tokens"),
+        )
+    )

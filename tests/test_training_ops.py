@@ -556,3 +556,37 @@ def test_contamination_pairs(spark):
     assert set(got) == {(1, 100), (3, 100)}
     assert got[(3, 100)] == 1  # 13 tokens -> exactly one 13-gram
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_shards(spark):
+    """Single-stream layout: start offsets are the exclusive running sum
+    in id order, a doc straddling the budget boundary belongs to the
+    shard where its FIRST token lands, and bucketed mode partitions the
+    stream deterministically by the md5 hash."""
+    rows = [(i, 40) for i in range(1, 11)]  # 10 docs x 40 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = {
+        r["doc_id"]: r
+        for r in text_analysis.pack_shards(
+            df, "doc_id", "n", budget=100, n_buckets=1
+        ).collect()
+    }
+    assert [out[i]["start_offset"] for i in range(1, 11)] == [
+        40 * (i - 1) for i in range(1, 11)
+    ]
+    # doc 3 starts at 80 (straddles 100) -> shard 0; doc 4 starts at 120 -> 1
+    assert out[3]["shard"] == 0 and out[4]["shard"] == 1
+    assert all(r["bucket"] == 0 for r in out.values())
+    # bucketed: same doc always lands in the same bucket; offsets restart
+    b = text_analysis.pack_shards(df, "doc_id", "n", 100, n_buckets=3)
+    rows_b = b.collect()
+    assert {r["bucket"] for r in rows_b} <= {0, 1, 2} and len(
+        {r["bucket"] for r in rows_b}
+    ) > 1
+    for bk in {r["bucket"] for r in rows_b}:
+        grp = sorted(
+            (r for r in rows_b if r["bucket"] == bk),
+            key=lambda r: r["doc_id"],
+        )
+        starts = [r["start_offset"] for r in grp]
+        assert starts == [40 * i for i in range(len(grp))]
