@@ -34,6 +34,7 @@ from ontologybasedkgcreation_spark.session import get_spark
 from ontologybasedkgcreation_spark import fixtures, pipeline
 
 master = sys.argv[1]; n_pages = int(sys.argv[2])
+semantic = sys.argv[4] if len(sys.argv) > 4 else "auto"
 # partitioning is FIXED across legs: the only variable is task slots
 # (the in-sandbox analog of executor count); per-stage scheduling cost
 # then stays constant and the measurement isolates compute scaling
@@ -66,20 +67,29 @@ pages = fixtures.pages_df_distributed(spark, n_pages, partitions=32,
                                       target_chars=target_chars)
 pages = pages.cache(); n = pages.count()
 t0 = time.time()
-out = pipeline.run_pipeline(spark, pages, with_paragraphs=True)
+out = pipeline.run_pipeline(spark, pages, with_paragraphs=True,
+                            semantic=semantic)
+# run_pipeline returns lazily EXCEPT the eager semantic auto-train
+# (corpus count + sample checkpoint + co-occurrence collect + eigh);
+# build_sec isolates that eager prefix from the job time
+t1 = time.time()
 edges = out['edges'].count(); nodes = out['nodes'].count()
 dt = time.time() - t0
 print(json.dumps({{"master": master, "pages": n, "sec": round(dt, 2),
                    "pages_per_sec": round(n / dt, 2),
+                   "semantic": semantic,
+                   "build_sec": round(t1 - t0, 2),
                    "nodes": nodes, "edges": edges}}), flush=True)
 spark.stop()  # local-cluster: avoid noisy executor-relaunch shutdown
 """
 
 
-def run_level(master: str, n_pages: int, target_chars: int = 20000) -> dict:
+def run_level(master: str, n_pages: int, target_chars: int = 20000,
+              semantic: str = "auto") -> dict:
     script = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, master, str(n_pages), str(target_chars)],
+        [sys.executable, "-c", script, master, str(n_pages),
+         str(target_chars), semantic],
         capture_output=True, text=True, timeout=3600,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -128,8 +138,10 @@ def host_calibration() -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--cluster"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--cluster", "--semantic=off", "--semantic=auto")]
     cluster = "--cluster" in sys.argv[1:]
+    semantic = "off" if "--semantic=off" in sys.argv[1:] else "auto"
     n_pages = int(args[0]) if len(args) > 0 else 2000
     n = int(args[1]) if len(args) > 1 else (2 if cluster else 8)
     target_chars = int(args[2]) if len(args) > 2 else 20000
@@ -142,9 +154,9 @@ def main() -> int:
         lo_master, hi_master = f"local[{n}]", f"local[{4 * n}]"
     cal0 = host_calibration()
     print(json.dumps({"pre_leg_calibration": cal0}))
-    lo = run_level(lo_master, n_pages, target_chars)
+    lo = run_level(lo_master, n_pages, target_chars, semantic)
     print(json.dumps(lo))
-    hi = run_level(hi_master, n_pages, target_chars)
+    hi = run_level(hi_master, n_pages, target_chars, semantic)
     print(json.dumps(hi))
     cal1 = host_calibration()
     print(json.dumps({"post_leg_calibration": cal1}))
@@ -154,6 +166,9 @@ def main() -> int:
     summary = {
         "n_leg": lo_master, "4n_leg": hi_master,
         "pages": n_pages, "page_chars": target_chars,
+        "semantic": semantic,
+        "build_sec_n": lo.get("build_sec"),
+        "build_sec_4n": hi.get("build_sec"),
         "throughput_n": lo["pages_per_sec"],
         "throughput_4n": hi["pages_per_sec"],
         "speedup": round(speedup, 3),
@@ -182,7 +197,8 @@ def main() -> int:
             f"| {n_pages} | {lo_master} | {lo['pages_per_sec']} | "
             f"{hi_master} | {hi['pages_per_sec']} | {summary['speedup']} | "
             f"{summary['scaling_efficiency']} "
-            f"(cal {cal}{'' if summary['host_ok'] else ' DEGRADED'}) |\n"
+            f"(cal {cal}{'' if summary['host_ok'] else ' DEGRADED'}"
+            f"{', semantic OFF' if semantic == 'off' else ''}) |\n"
         )
     return 0
 
