@@ -731,6 +731,36 @@ def q_pack_shards(spark, sf_dir):
     return pack_shards(counts, "doc_id", "n_ws_tokens", 2048, n_buckets=4)
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition signals (text_analysis.repetition_signals — Rae
+    et al. 2021 table A1): multi-line text is synthesized per document
+    (every 3rd doc repeats its first line, every 7th gets a degenerate
+    spam tail), then the four repetition fractions + the keep flag are
+    computed columnar.  The oracle replays the identical construction
+    and fraction arithmetic; ties on the top-2-gram broken to the
+    lexicographically greatest gram in both engines."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    multi = F.concat(
+        F.substring("text", 1, 80), F.lit("\n"),
+        F.substring("text", 41, 80),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("\n"), F.substring("text", 1, 80)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\n" + " ".join(["spam"] * 9)),
+        ).otherwise(F.lit("")),
+    )
+    return repetition_signals(
+        d.select("doc_id", multi.alias("text")), "doc_id", "text"
+    )
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -1097,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "decontaminate": q_decontaminate,
         "pack_shards": q_pack_shards,
+        "gopher_repetition": q_gopher_repetition,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
@@ -1601,6 +1632,90 @@ SELECT doc_id, bucket,
        CAST(floor(start / 2048) AS BIGINT) AS shard,
        nt AS n_tokens
 FROM c
+""",
+        # gopher_repetition: identical multi-line construction, identical
+        # fraction arithmetic (BIGINT sums cast to DOUBLE before dividing,
+        # round(...,9) on output only); the top-2-gram tie breaks to the
+        # lexicographically greatest gram (Spark max(struct(c,g)) ==
+        # row_number ORDER BY c DESC, g DESC)
+        "gopher_repetition": r"""
+WITH base AS (
+  SELECT doc_id,
+         substring(text, 1, 80) || chr(10) || substring(text, 41, 80)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || substring(text, 1, 80) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'spam spam spam spam spam spam spam spam spam'
+                 ELSE '' END AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(lower(t), '\s+'), x -> x <> '') AS tk
+  FROM base
+), lines AS (
+  SELECT doc_id, ln
+  FROM base, unnest(string_split(t, chr(10))) AS u(ln)
+  WHERE trim(ln) <> ''
+), per_line AS (
+  SELECT doc_id, ln, count(*) AS c, length(ln) AS len
+  FROM lines GROUP BY doc_id, ln
+), line_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dlf,
+         CAST(sum((c - 1) * len) AS DOUBLE)
+             / CAST(sum(c * len) AS DOUBLE) AS dlcf
+  FROM per_line GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM toks, unnest(
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(generate_series(1, len(tk) - 1),
+                             i -> tk[i] || ' ' || tk[i + 1])
+         ELSE [] END) AS u(g)
+  GROUP BY doc_id, g
+), top2 AS (
+  SELECT doc_id, c * (length(g) - 1) AS topchars
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g DESC) AS rn
+        FROM g2)
+  WHERE rn = 1
+), g5 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM toks, unnest(
+    CASE WHEN len(tk) >= 5
+         THEN list_transform(generate_series(1, len(tk) - 4),
+                             i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+         ELSE [] END) AS u(g)
+  GROUP BY doc_id, g
+), dup5 AS (
+  SELECT doc_id,
+         CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dnf
+  FROM g5 GROUP BY doc_id
+), tc AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(t, '\s', '', 'g')) AS DOUBLE) AS tchars
+  FROM base
+)
+SELECT b.doc_id,
+       COALESCE(ls.n_lines, 0) AS n_lines,
+       round(COALESCE(ls.dlf, 0), 9) AS dup_line_frac,
+       round(COALESCE(ls.dlcf, 0), 9) AS dup_line_char_frac,
+       round(COALESCE(CAST(t2.topchars AS DOUBLE)
+                          / greatest(tc.tchars, 1.0), 0), 9)
+           AS top_ngram_char_frac,
+       round(COALESCE(d5.dnf, 0), 9) AS dup_ngram_frac,
+       CAST(CASE WHEN COALESCE(ls.dlf, 0) <= 0.30
+                  AND COALESCE(ls.dlcf, 0) <= 0.20
+                  AND COALESCE(CAST(t2.topchars AS DOUBLE)
+                                   / greatest(tc.tchars, 1.0), 0) <= 0.20
+                  AND COALESCE(d5.dnf, 0) <= 0.15
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM base b
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN dup5 d5 USING (doc_id)
+JOIN tc USING (doc_id)
 """,
         # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
         # round to 9 decimals BEFORE ranking (float sums are order-dependent

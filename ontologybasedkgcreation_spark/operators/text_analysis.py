@@ -189,6 +189,132 @@ def strip_boilerplate(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ngram: int = 2,
+    dup_ngram: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1) — the
+    document-level repetition family that catches boilerplate-ish and
+    degenerate pages before training:
+
+    - ``dup_line_frac``: fraction of non-empty lines that are repeats of
+      an earlier line (occurrences beyond the first / total lines);
+    - ``dup_line_char_frac``: same, weighted by line characters;
+    - ``top_ngram_char_frac``: characters covered by the single most
+      frequent word ``top_ngram``-gram / total token characters (ties
+      broken to the lexicographically greatest gram — deterministic);
+    - ``dup_ngram_frac``: fraction of word ``dup_ngram``-gram occurrences
+      that are duplicates.
+
+    All four are exact deterministic variants of the published signals
+    (the paper's 5-10-gram char-coverage union is order-dependent; the
+    occurrence fraction here is the order-free equivalent), plus ``keep``
+    at the paper's thresholds (0.30 / 0.20 / 0.15, parameter-free here —
+    callers re-derive with their own cuts from the returned fractions).
+
+    Scale shape: three explode->groupBy(id, key) branches joined back on
+    the id — every aggregation is map-side combinable and keyed by the
+    document id (one exchange per branch, no cross-document state, no
+    Python).  N-grams are built with one array ``transform`` per row
+    (vocabulary-independent), never a self-join."""
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col), F.col(text_col), toks.alias("_t"))
+
+    # --- line branch ------------------------------------------------
+    lines = base.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    ).filter(F.trim("_line") != "")
+    per_line = lines.groupBy(id_col, "_line").agg(
+        F.count("*").alias("_c"), F.first(F.length("_line")).alias("_len")
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_lines"),
+        (
+            (F.sum("_c") - F.count("*")).cast("double")
+            / F.sum("_c").cast("double")
+        ).alias("_dlf"),
+        (
+            F.sum((F.col("_c") - 1) * F.col("_len")).cast("double")
+            / F.sum(F.col("_c") * F.col("_len")).cast("double")
+        ).alias("_dlcf"),
+    )
+
+    # --- top n-gram branch -------------------------------------------
+    def _grams(n: int):
+        # transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(t,i,n)))
+        # guarded: sequence(1, 0) in Spark DESCENDS ([1, 0]) and slice's
+        # 1-based start rejects 0, so short docs get an explicit empty array
+        return F.expr(
+            f"case when size(_t) >= {n} then "
+            f"transform(sequence(1, size(_t) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(_t, i, {n}))) "
+            f"else array() end"
+        )
+
+    top = (
+        base.select(F.col(id_col), F.explode(_grams(top_ngram)).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct("_c", "_g")).alias("_m"))
+        .select(
+            F.col(id_col),
+            (
+                F.col("_m._c")
+                * (F.length("_m._g") - F.lit(top_ngram - 1))
+            ).alias("_topchars"),
+        )
+    )
+
+    # --- duplicate n-gram branch ---------------------------------------
+    dup = (
+        base.select(F.col(id_col), F.explode(_grams(dup_ngram)).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            (
+                (F.sum("_c") - F.count("*")).cast("double")
+                / F.sum("_c").cast("double")
+            ).alias("_dnf")
+        )
+    )
+
+    token_chars = F.length(
+        F.regexp_replace(F.col(text_col), r"\s", "")
+    ).cast("double")
+    out = (
+        base.select(F.col(id_col), token_chars.alias("_tc"))
+        .join(line_stats, id_col, "left")
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+    )
+    dlf = F.coalesce(F.col("_dlf"), F.lit(0.0))
+    dlcf = F.coalesce(F.col("_dlcf"), F.lit(0.0))
+    tncf = F.coalesce(
+        F.col("_topchars").cast("double") / F.greatest("_tc", F.lit(1.0)),
+        F.lit(0.0),
+    )
+    dnf = F.coalesce(F.col("_dnf"), F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_lines"), F.lit(0).cast("long")).alias("n_lines"),
+        F.round(dlf, 9).alias("dup_line_frac"),
+        F.round(dlcf, 9).alias("dup_line_char_frac"),
+        F.round(tncf, 9).alias("top_ngram_char_frac"),
+        F.round(dnf, 9).alias("dup_ngram_frac"),
+        (
+            (dlf <= 0.30) & (dlcf <= 0.20) & (tncf <= 0.20) & (dnf <= 0.15)
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,90 @@
+"""Wait for a good-host calibration window, then fire one gated scaling run.
+
+The shared-tenancy host drifts by 3x within hours (BENCH/BASELINE.md);
+accepted scaling rows require host_calibration_sec <= 0.85 before AND
+after the legs.  Stable windows are rare, so this watcher polls the
+probe on an interval and launches `scaling_bench.py` with the given
+args the moment a probe lands in the good band — the bench's own
+pre/post probes still gate the row, this just catches the window.
+
+Usage: python3 scripts/gated_scaling_watch.py [--band 0.82] [--interval 600]
+           [--max-hours 5] -- <scaling_bench args...>
+Log: BENCH/gated_watch.log (append-only probe trail).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "BENCH", "gated_watch.log")
+
+
+def _log(msg: str) -> None:
+    stamp = datetime.datetime.now().strftime("%H:%M:%S")
+    with open(LOG, "a") as fh:
+        fh.write(f"{stamp} {msg}\n")
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    bench_args = []
+    if "--" in argv:
+        i = argv.index("--")
+        argv, bench_args = argv[:i], argv[i + 1:]
+    band = 0.82
+    interval = 600
+    max_hours = 5.0
+    it = iter(range(len(argv)))
+    for i in it:
+        if argv[i] == "--band":
+            band = float(argv[i + 1]); next(it)
+        elif argv[i] == "--interval":
+            interval = int(argv[i + 1]); next(it)
+        elif argv[i] == "--max-hours":
+            max_hours = float(argv[i + 1]); next(it)
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sb", os.path.join(REPO, "scripts", "scaling_bench.py")
+    )
+    sb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+
+    deadline = time.time() + max_hours * 3600
+    _log(f"watch start: band<={band}, args={bench_args}")
+    while time.time() < deadline:
+        try:
+            cal = sb.host_calibration()
+        except Exception as e:  # probe child failed — host thrashing
+            _log(f"probe ERROR {e!r}")
+            time.sleep(interval)
+            continue
+        _log(f"probe {json.dumps(cal)}")
+        if cal["cal_sec"] <= band:
+            _log(f"window OPEN at {cal['cal_sec']} — launching scaling_bench "
+                 f"{bench_args}")
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts",
+                                              "scaling_bench.py")]
+                + bench_args,
+                capture_output=True, text=True, timeout=7200,
+            )
+            _log("scaling_bench stdout:\n" + r.stdout)
+            if r.returncode != 0:
+                _log("scaling_bench stderr tail:\n" + r.stderr[-3000:])
+            return r.returncode
+        time.sleep(interval)
+    _log("watch EXPIRED without a good window")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

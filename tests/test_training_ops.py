@@ -590,3 +590,61 @@ def test_pack_shards(spark):
         )
         starts = [r["start_offset"] for r in grp]
         assert starts == [40 * i for i in range(len(grp))]
+
+
+def test_repetition_signals(spark):
+    """Gopher repetition family: hand-computable fixtures for all four
+    fractions + the degenerate edge cases (empty doc, doc shorter than
+    the n-gram, all-duplicate spam page)."""
+    rows = [
+        # 3 lines, one dup pair: 'aa bb' x2 (len 5) + 'cc dd' (len 5)
+        (1, "aa bb\ncc dd\naa bb"),
+        # degenerate spam: 6x 'spam' -> two distinct lines? no: one line,
+        # 5-grams: 2 occurrences of the same gram -> dnf = 1/2
+        (2, "spam spam spam spam spam spam"),
+        # shorter than the 5-gram window and unique 2-grams
+        (3, "one two three"),
+        # empty / whitespace-only
+        (4, "   "),
+        # clean longer doc: all 2-grams unique, top covers 7/38 < 0.2
+        (5, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    out = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(1.0 / 3.0, abs=1e-9)
+    # dup chars: (2-1)*5 / (2*5 + 1*5)
+    assert r1["dup_line_char_frac"] == pytest.approx(5.0 / 15.0, abs=1e-9)
+    # top 2-gram 'aa bb' appears 2x, covers 2*4=8 of 12 non-ws chars
+    assert r1["top_ngram_char_frac"] == pytest.approx(8.0 / 12.0, abs=1e-9)
+    assert r1["dup_ngram_frac"] == 0.0  # only 'aa bb cc dd aa' etc, unique
+    assert r1["keep"] == 0  # dup_line_frac 0.333 > 0.30
+
+    r2 = out[2]
+    # 2-grams: 5x 'spam spam' -> top covers 5*8=40 of 24 chars -> >1 capped? no cap:
+    # fraction can exceed 1 by construction (overlapping grams) — Gopher's too
+    assert r2["dup_ngram_frac"] == pytest.approx(0.5, abs=1e-9)
+    assert r2["keep"] == 0
+
+    r3 = out[3]
+    assert r3["n_lines"] == 1
+    assert r3["dup_line_frac"] == 0.0
+    assert r3["dup_ngram_frac"] == 0.0  # no 5-grams at all
+    # a 3-token doc's single top 2-gram covers most of it — the raw signal
+    # correctly rejects it; Gopher gates this rule behind a length floor,
+    # which callers apply from the returned fractions + token counts
+    assert r3["top_ngram_char_frac"] > 0.2 and r3["keep"] == 0
+
+    r4 = out[4]
+    assert r4["n_lines"] == 0
+    assert r4["keep"] == 1  # nothing repeated in nothing
+
+    r5 = out[5]
+    assert r5["top_ngram_char_frac"] == pytest.approx(7.0 / 38.0, abs=1e-9)
+    assert r5["keep"] == 1
