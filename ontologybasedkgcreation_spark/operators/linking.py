@@ -894,12 +894,20 @@ def build_graph(
         if n_docs >= semantic_auto_min_docs:
             from .embedding import train_corpus_embedder
 
-            sample = corpus.select(F.col(corpus_text_col).alias("text"))
+            # sample key: a source-key column (url) when the corpus has
+            # one, else the text itself.  Hashing the KEY (not the text)
+            # lets Catalyst push the sample filter BELOW the extraction
+            # projection, so only the <=20k sampled documents ever pay
+            # the html->text decode — hashing the text would force a
+            # full-corpus extraction pass just to pick the sample.
+            sample_key = "url" if "url" in corpus.columns else corpus_text_col
+            sampled = corpus
             if n_docs > semantic_auto_max_docs:
                 k = -(-n_docs // semantic_auto_max_docs)  # ceil
-                sample = sample.filter(
-                    F.pmod(F.xxhash64("text"), F.lit(k)) == 0
+                sampled = sampled.filter(
+                    F.pmod(F.xxhash64(sample_key), F.lit(k)) == 0
                 )
+            sample = sampled.select(F.col(corpus_text_col).alias("text"))
             semantic_embedder = train_corpus_embedder(
                 sample.localCheckpoint()
             )

@@ -373,3 +373,51 @@ def test_semantic_refine_merges_lexically_disjoint_alias(spark, trained):
     court_key = courts[0]["node_key"]
     dsts = {r["dst_key"] for r in merged["edges"].collect()}
     assert dsts == {court_key}
+
+
+def test_semantic_auto_sample_cap_trains_on_url_keyed_sample(spark):
+    """The >max_docs branch: the trainer sees only the url-hash sample
+    (the filter pushes below extraction — plan-pinned in test_plans).
+    With the cap forcing k=2 sampling on the tripled alias corpus, the
+    attested alias pair still merges (each doc family repeats under
+    three urls, so the sample keeps vocab coverage) and the person gate
+    still vetoes."""
+    from pyspark.sql import functions as SF
+
+    from ontologybasedkgcreation_spark.operators import linking
+
+    docs_rows = []
+    for k, t in enumerate((ALIAS_DOCS + SIBLING_DOCS + JUDGE_DOCS) * 3):
+        docs_rows.append((f"https://d/{k}", t))
+    docs = spark.createDataFrame(docs_rows, "url string, text string")
+
+    c = lambda i: {"hasCaseID": f"Criminal Appeal No. {i} Of 2015",
+                   "hasCaseName": f"A{i} Versus B{i}"}
+    rows = [
+        ("u1", "CourtCase", c(1), "hasRulingOf", "Court",
+         {"courtName": "Supreme Court Of India"}),
+        ("u2", "CourtCase", c(2), "hasRulingOf", "Court",
+         {"courtName": "Apex Court"}),
+        ("u3", "CourtCase", c(3), "hasRulingOf", "Court",
+         {"courtName": "Supreme Court Of India"}),
+        ("u3", "CourtCase", c(3), "cited", "Court",
+         {"courtName": "Apex Court"}),
+        ("u6", "CourtCase", c(6), "hasJudge", "Judge",
+         {"COFirstName": "A.", "COLastName": "Deshmukh"}),
+        ("u6", "CourtCase", c(6), "hasJudge", "Judge",
+         {"COFirstName": "V.", "COLastName": "Raghavan"}),
+    ]
+    assigned = _assigned_generic(spark, rows)
+    n = docs.count()
+    capped = linking.build_graph(
+        assigned, corpus=docs,
+        semantic_auto_min_docs=10,
+        semantic_auto_max_docs=n // 2,  # forces the k=2 url-hash sample
+    )
+    courts = sorted(
+        r["props"]["courtName"]
+        for r in capped["nodes"].filter(
+            SF.col("head_label") == "Court").collect()
+    )
+    assert courts == ["Supreme Court Of India"]
+    assert capped["nodes"].filter(SF.col("head_label") == "Judge").count() == 2

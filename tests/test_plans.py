@@ -271,3 +271,37 @@ def test_graph_match_label_filter_pushed_to_scan(spark, tmp_path):
     ]
     assert filt_sections, plan
     assert got.count() == 1
+
+
+def test_semantic_sample_filter_pushes_below_extraction(spark):
+    """The auto-train hash sample keys on url, so Catalyst pushes the
+    sample filter BELOW the html->text ArrowEvalPython projection: only
+    the sampled documents pay the decode (a text-keyed sample would
+    force a full-corpus extraction pass just to pick the sample)."""
+    from pyspark.sql import functions as F
+
+    from ontologybasedkgcreation_spark.sources.pages import extract_pages
+
+    pages = spark.range(0, 1000).select(
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<pre>doc "), F.col("id"), F.lit("</pre>")),
+            "utf-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    ext = extract_pages(pages)
+    sampled = ext.filter(F.pmod(F.xxhash64("url"), F.lit(50)) == 0).select(
+        "text"
+    )
+    plan = sampled._jdf.queryExecution().optimizedPlan().toString()
+    assert "ArrowEvalPython" in plan and "Filter" in plan
+    # the Filter node must sit BELOW the ArrowEvalPython node
+    assert plan.index("ArrowEvalPython") < plan.index("Filter (pmod(xxhash64")
+    # and the corpus-size count never evaluates the decode at all
+    cnt_plan = (
+        ext.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in cnt_plan
