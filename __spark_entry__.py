@@ -761,6 +761,23 @@ def q_gopher_repetition(spark, sf_dir):
     )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram LM quality score (text_analysis.unigram_logprob — the
+    deterministic analog of CCNet's KenLM perplexity filter): the model
+    trains on the even-doc_id half of the corpus and scores every
+    document; odd docs contribute OOV tokens that exercise the count-1
+    floor.  avg_neg_logprob rounds to 7 decimals (order-dependent float
+    sums across engines)."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        unigram_logprob,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    return unigram_logprob(
+        d.filter(F.col("doc_id") % 2 == 0), d, "doc_id", "text", min_count=2
+    )
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -1128,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_shards": q_pack_shards,
         "gopher_repetition": q_gopher_repetition,
+        "unigram_logprob": q_unigram_logprob,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
@@ -1716,6 +1734,35 @@ LEFT JOIN line_stats ls USING (doc_id)
 LEFT JOIN top2 t2 USING (doc_id)
 LEFT JOIN dup5 d5 USING (doc_id)
 JOIN tc USING (doc_id)
+""",
+        # unigram_logprob: identical train/score split, count floor and
+        # ln(c/N) arithmetic; avg over doubles rounds to 7 decimals (the
+        # sums are order-dependent across engines, error ~1e-13)
+        "unigram_logprob": f"""
+WITH tr AS (
+  SELECT unnest({_TOKS}) AS t FROM documents WHERE doc_id % 2 = 0
+), cnt AS (
+  SELECT t, count(*) AS c FROM tr GROUP BY t HAVING count(*) >= 2
+), tot AS (
+  SELECT count(*) AS n FROM tr
+), sc AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), j AS (
+  SELECT sc.doc_id,
+         CASE WHEN cnt.c IS NULL THEN 1 ELSE 0 END AS oov,
+         ln(CAST(COALESCE(cnt.c, 1) AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS lp
+  FROM sc LEFT JOIN cnt USING (t), tot
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(oov) AS BIGINT) AS n_oov,
+         round(-avg(lp), 7) AS avg_neg_logprob
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.n_oov, 0) AS n_oov,
+       COALESCE(per.avg_neg_logprob, 0.0) AS avg_neg_logprob
+FROM documents d LEFT JOIN per USING (doc_id)
 """,
         # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
         # round to 9 decimals BEFORE ranking (float sums are order-dependent

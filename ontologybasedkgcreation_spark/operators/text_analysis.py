@@ -315,6 +315,66 @@ def repetition_signals(
     )
 
 
+def unigram_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-trained unigram LM quality score — the deterministic analog
+    of CCNet's KenLM perplexity filter (Wenzek et al. 2020): documents
+    whose token distribution diverges from the reference corpus score a
+    high average negative log-probability and get bucketed/dropped.
+
+    Model: ``p(t) = c_t / N`` over ``train``'s whitespace tokens with a
+    ``min_count`` floor; rarer/unseen tokens score as count 1 (the
+    classic +1-style floor).  Returns per ``score`` document
+    ``(id, n_tokens, n_oov, avg_neg_logprob)`` — lower is more
+    corpus-typical; ``avg_neg_logprob`` is rounded to 7 decimals (float
+    sums are order-dependent across engines; ~1e-13 accumulation error
+    vs a 1e-7 grid).
+
+    Scale shape: the count table is vocabulary-sized and token-keyed
+    (map-side combinable groupBy; AQE broadcasts the join when the vocab
+    is small), the corpus total rides as a LAZY 1-row broadcast
+    cross-join (no driver action — the pagerank discipline), and scoring
+    is one explode + one hash join + one map-side-combinable groupBy on
+    the document id."""
+    tt = train.select(F.explode(_tokens(text_col)).alias("t"))
+    cnt = (
+        tt.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    tot = tt.agg(F.count("*").alias("n"))
+    st = score.select(F.col(id_col), F.explode(_tokens(text_col)).alias("t"))
+    j = st.join(cnt, "t", "left").crossJoin(F.broadcast(tot))
+    logp = F.log(
+        F.coalesce(F.col("c"), F.lit(1)).cast("double")
+        / F.col("n").cast("double")
+    )
+    per = j.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(-F.avg(logp), 7).alias("avg_neg_logprob"),
+    )
+    return (
+        score.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+            F.coalesce("avg_neg_logprob", F.lit(0.0)).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str,

@@ -648,3 +648,37 @@ def test_repetition_signals(spark):
     r5 = out[5]
     assert r5["top_ngram_char_frac"] == pytest.approx(7.0 / 38.0, abs=1e-9)
     assert r5["keep"] == 1
+
+
+def test_unigram_logprob(spark):
+    """CCNet-style unigram LM scoring: hand-computed logprobs, the
+    min_count floor pushing rare train tokens to OOV, and zero-token
+    documents passing through as (0, 0, 0.0)."""
+    import math
+
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        unigram_logprob,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(5, "a b z"), (6, "c"), (7, "   ")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob(
+            train, score, "doc_id", "text", min_count=2
+        ).collect()
+    }
+    # N=6; counts kept: a=3, b=2 (c=1 < min_count -> OOV floor)
+    r5 = out[5]
+    assert r5["n_tokens"] == 3 and r5["n_oov"] == 1
+    want = -(math.log(3 / 6) + math.log(2 / 6) + math.log(1 / 6)) / 3
+    assert r5["avg_neg_logprob"] == pytest.approx(want, abs=1e-7)
+    # 'c' was in train but under the floor -> scored as OOV count 1
+    r6 = out[6]
+    assert r6["n_oov"] == 1
+    assert r6["avg_neg_logprob"] == pytest.approx(-math.log(1 / 6), abs=1e-7)
+    assert out[7]["n_tokens"] == 0 and out[7]["avg_neg_logprob"] == 0.0
