@@ -778,6 +778,37 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (text_analysis.canonicalize_urls — the CC
+    dedup-key step): messy URLs synthesized per doc_id (mixed case, www,
+    default ports, tracking params, unsorted query, fragment) must all
+    collapse to the clean canonical form.  The oracle replays rule for
+    rule with RE2-safe regexes."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        canonicalize_urls,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP"),
+        F.when(did % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (did % 20).cast("string"), F.lit(".Example.COM"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        F.when(did % 4 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Path/"), did.cast("string"))
+        ),
+        F.lit("?utm_source=x&b=2&a=1"),
+        F.when(did % 5 == 0, F.lit("&fbclid=abc")).otherwise(F.lit("")),
+        F.lit("#frag"), did.cast("string"),
+    )
+    return canonicalize_urls(
+        d.select("doc_id", url.alias("url")), "doc_id", "url"
+    )
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -1146,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": q_pack_shards,
         "gopher_repetition": q_gopher_repetition,
         "unigram_logprob": q_unigram_logprob,
+        "url_canonicalize": q_url_canonicalize,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
@@ -1763,6 +1795,63 @@ SELECT d.doc_id,
        COALESCE(per.n_oov, 0) AS n_oov,
        COALESCE(per.avg_neg_logprob, 0.0) AS avg_neg_logprob
 FROM documents d LEFT JOIN per USING (doc_id)
+""",
+        # url_canonicalize: identical messy-URL construction, then the
+        # same canonicalization rules replayed with RE2-safe regexes;
+        # bytewise param sort matches Spark array_sort on ASCII
+        "url_canonicalize": r"""
+WITH base AS (
+  SELECT doc_id,
+         'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END || '://'
+         || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+         || 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM'
+         || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+         || CASE WHEN doc_id % 4 = 0 THEN ''
+                 ELSE '/Path/' || CAST(doc_id AS VARCHAR) END
+         || '?utm_source=x&b=2&a=1'
+         || CASE WHEN doc_id % 5 = 0 THEN '&fbclid=abc' ELSE '' END
+         || '#frag' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             AS scheme,
+         lower(regexp_extract(url, '^[^:]+://([^/?#]+)', 1)) AS hp,
+         regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS rawpath,
+         regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM base
+), hostp AS (
+  SELECT doc_id, scheme, rawpath, q,
+         regexp_replace(
+             CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+                  WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+                  ELSE hp END,
+             '^www\.', '') AS host
+  FROM parts
+), lists AS (
+  SELECT doc_id, scheme, host, q,
+         CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+         list_filter(string_split(q, '&'), p -> p <> '') AS params,
+         list_sort(list_filter(
+             list_filter(string_split(q, '&'), p -> p <> ''),
+             p -> NOT regexp_matches(
+                 p, '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)='))) AS kept,
+         string_split(host, '.') AS labels
+  FROM hostp
+)
+SELECT doc_id,
+       scheme || '://' || host || path
+       || CASE WHEN len(kept) > 0
+               THEN '?' || array_to_string(kept, '&') ELSE '' END
+           AS canon_url,
+       host,
+       CASE WHEN len(labels) >= 2
+            THEN labels[len(labels) - 1] || '.' || labels[len(labels)]
+            ELSE host END AS domain,
+       path,
+       CAST(len(kept) AS BIGINT) AS n_params,
+       CAST(len(params) - len(kept) AS BIGINT) AS n_tracking
+FROM lists
 """,
         # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
         # round to 9 decimals BEFORE ranking (float sums are order-dependent

@@ -375,6 +375,69 @@ def unigram_logprob(
     )
 
 
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
+
+
+def canonicalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL canonicalization — the Common-Crawl-pipeline dedup key step.
+    Two requests that differ only in case, default port, ``www.``,
+    fragment, tracking parameters, or query-parameter order are the same
+    resource; canonicalizing before exact/near dedup collapses them.
+
+    Rules (each deterministic, all pure string built-ins — whole-stage
+    codegen, embarrassingly partition-parallel):
+    scheme+host lowercased; leading ``www.`` stripped; default ports
+    (``:80`` http, ``:443`` https) stripped; empty path becomes ``/``;
+    fragment dropped; tracking params (``utm_*``/fbclid/gclid/msclkid/
+    ref) dropped; surviving params sorted bytewise.  Returns
+    (id, canon_url, host, domain, path, n_params, n_tracking) where
+    ``domain`` is the last-two-labels registrable-domain heuristic (a
+    deployment swaps in the public-suffix list; the column contract is
+    the integration point)."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host_port = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
+    host = F.when(
+        scheme == "http", F.regexp_replace(host_port, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host_port, ":443$", "")
+    ).otherwise(host_port)
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(u, r"^[^:]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    kept = F.array_sort(
+        F.filter(params, lambda p: ~p.rlike(TRACKING_PARAM_RE))
+    )
+    canon_q = F.array_join(kept, "&")
+    labels = F.split(host, r"\.")
+    domain = F.when(
+        F.size(labels) >= 2,
+        F.concat(
+            F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
+        ),
+    ).otherwise(host)
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        canon.alias("canon_url"),
+        host.alias("host"),
+        domain.alias("domain"),
+        path.alias("path"),
+        F.size(kept).cast("long").alias("n_params"),
+        (F.size(params) - F.size(kept)).cast("long").alias("n_tracking"),
+    )
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str,

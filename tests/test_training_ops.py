@@ -682,3 +682,38 @@ def test_unigram_logprob(spark):
     assert r6["n_oov"] == 1
     assert r6["avg_neg_logprob"] == pytest.approx(-math.log(1 / 6), abs=1e-7)
     assert out[7]["n_tokens"] == 0 and out[7]["avg_neg_logprob"] == 0.0
+
+
+def test_canonicalize_urls(spark):
+    """URL canonicalization rules one by one: case, www, default ports,
+    fragment, tracking params, param sort, empty path, non-default port
+    kept, schemeless garbage passes through empty."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        canonicalize_urls,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/A/b?z=1&utm_source=t&a=2#x"),
+        (2, "http://example.com:80"),
+        (3, "http://example.com:8080/p?fbclid=q"),
+        (4, "https://sub.shop.co.uk/x"),
+        (5, "not-a-url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r
+        for r in canonicalize_urls(df, "doc_id", "url").collect()
+    }
+    r1 = out[1]
+    assert r1["canon_url"] == "https://example.com/A/b?a=2&z=1"
+    assert r1["n_params"] == 2 and r1["n_tracking"] == 1
+    assert r1["domain"] == "example.com"
+    assert out[2]["canon_url"] == "http://example.com/"
+    # non-default port survives; tracking-only query drops the '?'
+    assert out[3]["canon_url"] == "http://example.com:8080/p"
+    assert out[3]["n_params"] == 0 and out[3]["n_tracking"] == 1
+    # last-two-labels heuristic is documented (co.uk needs a PSL)
+    assert out[4]["domain"] == "co.uk" and out[4]["host"] == "sub.shop.co.uk"
+    # degenerate input: deterministic pass-through (empty scheme/host,
+    # path coerced to '/'), never a crash
+    assert out[5]["host"] == "" and out[5]["canon_url"] == ":///"
