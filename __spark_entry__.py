@@ -809,6 +809,23 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (text_analysis.stratified_sample
+    — the data-mixing step): per-source keep rates cycle 0 / 0.25 / 0.5
+    / 0.75 by source number; membership is a pure integer compare of a
+    60-bit md5 hash against int(rate * 2^60), so the oracle replays it
+    exactly with the same ('0x' || md5-prefix)::UBIGINT idiom."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        stratified_sample,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    rates = {f"src{i}": (i % 4) / 4.0 for i in range(20)}
+    return stratified_sample(
+        d.select("doc_id", "source"), "doc_id", "source", rates
+    ).select("doc_id", "source", "sample_hash", "sample_keep")
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -1178,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "unigram_logprob": q_unigram_logprob,
         "url_canonicalize": q_url_canonicalize,
+        "stratified_sample": q_stratified_sample,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
@@ -1852,6 +1870,25 @@ SELECT doc_id,
        CAST(len(kept) AS BIGINT) AS n_params,
        CAST(len(params) - len(kept) AS BIGINT) AS n_tracking
 FROM lists
+""",
+        # stratified_sample: identical 60-bit md5 hash (15 hex chars) and
+        # integer thresholds int(rate * 2^60); rates cycle by the source
+        # number mod 4 -> literal thresholds 0, 2^58, 2^59, 3*2^58
+        "stratified_sample": r"""
+SELECT doc_id, source,
+       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15))
+            ::UBIGINT AS BIGINT) AS sample_hash,
+       CAST(CASE WHEN
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15))
+                 ::UBIGINT AS BIGINT)
+            < CASE CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4
+                   WHEN 0 THEN 0
+                   WHEN 1 THEN 288230376151711744
+                   WHEN 2 THEN 576460752303423488
+                   WHEN 3 THEN 864691128455135232
+              END
+            THEN 1 ELSE 0 END AS BIGINT) AS sample_keep
+FROM documents
 """,
         # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
         # round to 9 decimals BEFORE ranking (float sums are order-dependent

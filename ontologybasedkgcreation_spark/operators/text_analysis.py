@@ -6,6 +6,8 @@ table lacks a lang column)."""
 
 from __future__ import annotations
 
+from typing import Dict
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -435,6 +437,59 @@ def canonicalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         path.alias("path"),
         F.size(kept).cast("long").alias("n_params"),
         (F.size(params) - F.size(kept)).cast("long").alias("n_tracking"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing step of a
+    pretraining pipeline (keep 100 % of a curated source, 25 % of raw
+    web, 0 % of a blocked source).  Each row keeps iff a 60-bit
+    md5-derived hash of ``(id, salt)`` falls under its stratum's
+    threshold ``int(rate * 2^60)`` — so membership is a pure function of
+    the id: reruns, resumes and engines agree row for row, and raising a
+    stratum's rate strictly GROWS its sample (nested samples, the
+    standard hash-sampling property).  ``salt`` decorrelates independent
+    samples drawn from the same table.
+
+    Returns the input columns + ``sample_hash`` (audit) + ``sample_keep``
+    (0/1; callers filter).  ``rates`` is a plain dict compiled into a
+    when-chain, so strata cardinality should be modest (100s); a
+    deployment with unbounded strata joins a rates frame instead — same
+    hash rule.  Thresholds are computed in integer space (never a
+    float compare at 2^60 scale where doubles lose exactness).
+
+    Scale shape: one projection, zero shuffles, zero Python."""
+    hash60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"), F.lit(salt)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = None
+    for k in sorted(rates):
+        cond = F.col(strata_col) == F.lit(k)
+        t = F.lit(int(rates[k] * (1 << 60)))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_thr = F.lit(int(default_rate * (1 << 60)))
+    thr = default_thr if thr is None else thr.otherwise(default_thr)
+    return df.select(
+        *df.columns,
+        hash60.alias("sample_hash"),
+        (hash60 < thr).cast("long").alias("sample_keep"),
     )
 
 

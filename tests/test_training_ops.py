@@ -717,3 +717,34 @@ def test_canonicalize_urls(spark):
     # degenerate input: deterministic pass-through (empty scheme/host,
     # path coerced to '/'), never a crash
     assert out[5]["host"] == "" and out[5]["canon_url"] == ":///"
+
+
+def test_stratified_sample(spark):
+    """Hash sampling properties: nested samples (raising a rate only
+    grows the kept set), exact 0/1 rates, salt decorrelation, and the
+    empirical rate landing near the nominal one."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(400)], "doc_id long, source string"
+    ).cache()
+
+    def kept(rate, salt=""):
+        out = stratified_sample(
+            df, "doc_id", "source", {"s": rate}, salt=salt
+        )
+        return {r["doc_id"] for r in out.filter("sample_keep = 1").collect()}
+
+    k25, k50, k75 = kept(0.25), kept(0.5), kept(0.75)
+    assert k25 <= k50 <= k75  # nested
+    assert kept(0.0) == set()
+    assert kept(1.0) == set(range(400))
+    assert 0.4 <= len(k50) / 400 <= 0.6
+    # a different salt draws a different (deterministic) sample
+    assert kept(0.5, salt="x") != k50
+    # unknown stratum falls to default_rate=0
+    df2 = spark.createDataFrame([(1, "other")], "doc_id long, source string")
+    out2 = stratified_sample(df2, "doc_id", "source", {"s": 1.0}).collect()
+    assert out2[0]["sample_keep"] == 0
