@@ -826,6 +826,34 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_hash", "sample_keep")
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (dedup.duplicate_spans — Lee et
+    al. 2021 at 10-token granularity for fixture density): every 4th
+    document carries a shared 15-token tail (cross-document repeats),
+    every 10th a period-3 self-repeating tail (within-document repeats);
+    maximal duplicated-start runs merge into token spans."""
+    from ontologybasedkgcreation_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    shared = (
+        " the quick brown fox jumps over the lazy dog"
+        " again and again forever and ever"
+    )
+    selfrep = " x y z" * 10
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(shared)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(selfrep)).otherwise(
+            F.lit("")
+        ),
+    )
+    return duplicate_spans(
+        d.select("doc_id", t.alias("text")), "doc_id", "text", n=10
+    )
+
+
 def q_media_bytes(spark, sf_dir):
     d = _doc(spark, sf_dir, "documents")
     return d.select(
@@ -1196,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "url_canonicalize": q_url_canonicalize,
         "stratified_sample": q_stratified_sample,
+        "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
         "case_metadata": q_case_metadata,
@@ -1889,6 +1918,51 @@ SELECT doc_id, source,
               END
             THEN 1 ELSE 0 END AS BIGINT) AS sample_keep
 FROM documents
+""",
+        # duplicate_spans: identical construction, md5 10-gram start
+        # hashes, >=2 total-occurrence hot set, islands window per doc
+        # (running-sum frames agree: distinct pos values)
+        "duplicate_spans": r"""
+WITH base AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' the quick brown fox jumps over the lazy dog'
+                      || ' again and again forever and ever'
+                 ELSE '' END
+         || CASE WHEN doc_id % 10 = 0
+                 THEN repeat(' x y z', 10) ELSE '' END AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(t), '\s+'), x -> x <> '') AS tk
+  FROM base
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(list_slice(tk, i, i + 9), ' ')) AS h
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 9)) AS i)
+  WHERE len(tk) >= 10
+), hot AS (
+  SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+), marked AS (
+  SELECT g.doc_id, g.pos FROM grams g SEMI JOIN hot USING (h)
+), gaps AS (
+  SELECT doc_id, pos,
+         CASE WHEN COALESCE(pos - lag(pos) OVER
+                   (PARTITION BY doc_id ORDER BY pos), 2) > 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM marked
+), islands AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM gaps
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 9 AS BIGINT) AS span_end,
+       CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS n_dup_tokens
+FROM islands
+GROUP BY doc_id, isl
 """,
         # bm25_adopt: Robertson-IDF BM25 replicated term-for-term; scores
         # round to 9 decimals BEFORE ranking (float sums are order-dependent

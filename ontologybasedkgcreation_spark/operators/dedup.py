@@ -431,3 +431,85 @@ def contamination_pairs(
         .groupBy("doc", "eval_doc")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_total: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate spans — Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"): any word n-gram that
+    occurs ``min_total``+ times ANYWHERE in the corpus marks its
+    occurrences as duplicated text; maximal runs of consecutive
+    duplicated n-gram starts are merged into token spans
+    (doc, span_start, span_end, n_dup_tokens), 0-based inclusive token
+    indices.  The paper dedups at 50-token granularity over a suffix
+    array; the n-gram-hash formulation finds the identical >=n-token
+    repeats and is distributable.
+
+    Scale shape: per-position n-gram hashes come from ONE per-row array
+    transform (no ×n row blowup before the explode); the hot-hash table
+    is a map-side-combinable count (total occurrences, so a
+    within-document repeat also counts, like the suffix array); the
+    span merge is an islands window PER DOCUMENT — partitions are
+    document-sized, never corpus-sized.  The md5-per-position transform
+    costs O(tokens × n) bytes hashed; a deployment chasing constants
+    swaps in a rolling polynomial hash behind the same (doc, pos, h)
+    contract."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("_t"),
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"case when size(_t) >= {n} then "
+                f"transform(sequence(1, size(_t) - {n - 1}), "
+                f"i -> md5(concat_ws(' ', slice(_t, i, {n})))) "
+                f"else array() end"
+            )
+        ).alias("pos", "h"),
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_total)
+        .select("h")
+    )
+    marked = grams.join(hot, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        marked.withColumn(
+            "_new",
+            F.when(
+                F.coalesce(
+                    F.col("pos") - F.lag("pos", 1).over(w), F.lit(2)
+                )
+                > 1,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "n_dup_tokens"
+            ),
+        )
+    )
+    return islands

@@ -748,3 +748,31 @@ def test_stratified_sample(spark):
     df2 = spark.createDataFrame([(1, "other")], "doc_id long, source string")
     out2 = stratified_sample(df2, "doc_id", "source", {"s": 1.0}).collect()
     assert out2[0]["sample_keep"] == 0
+
+
+def test_duplicate_spans(spark):
+    """Lee et al. exact-substring spans at n=4: cross-document repeats,
+    a within-document period-6 repeat splitting into two islands, and a
+    doc shorter than the window yielding nothing."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "z z a b c d e q r s"),
+        (3, "p q r s t u p q r s t u"),
+        (4, "m n o"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_tokens"])
+        for r in dedup.duplicate_spans(
+            df, "doc_id", "text", n=4, min_total=2
+        ).collect()
+    )
+    # doc1: grams 'a b c d'@0 and 'b c d e'@1 repeat in doc2 -> one island
+    # covering tokens 0..4; doc2 same gram pair at starts 2,3 -> 2..6;
+    # doc3: starts {0,1,2} and {6,7,8} (self-repeat) -> two islands of 6
+    assert out == [
+        (1, 0, 4, 5),
+        (2, 2, 6, 5),
+        (3, 0, 5, 6),
+        (3, 6, 11, 6),
+    ]
