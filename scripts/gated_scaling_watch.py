@@ -69,8 +69,13 @@ def main() -> int:
             continue
         _log(f"probe {json.dumps(cal)}")
         if cal["cal_sec"] <= band:
-            _log(f"window OPEN at {cal['cal_sec']} — launching scaling_bench "
-                 f"{bench_args}")
+            _log(f"window OPEN at {cal['cal_sec']} — settling, then "
+                 f"launching scaling_bench {bench_args}")
+            # the probe's own JVM teardown (GC, page-cache churn) inflates
+            # a back-to-back probe by ~0.3-0.4s — measured: watcher probe
+            # 0.65 followed immediately by the bench pre-probe reading
+            # 1.041 on an otherwise-good window.  Let the box settle.
+            time.sleep(75)
             r = subprocess.run(
                 [sys.executable, os.path.join(REPO, "scripts",
                                               "scaling_bench.py")]
