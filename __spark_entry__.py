@@ -790,18 +790,29 @@ def q_url_canonicalize(spark, sf_dir):
 
     d = _doc(spark, sf_dir, "documents")
     did = F.col("doc_id")
+    # TLD cycles through PSL depths: implicit-* default (.com appears as
+    # an unknown exact-1), exact-2 rules (co.uk / gov.in) and a 1-label
+    # wildcard (*.bd) — the registrable-domain column exercises each
+    tld = (
+        F.when(did % 7 == 1, F.lit(".Example.CO.UK"))
+        .when(did % 7 == 2, F.lit(".Example.GOV.IN"))
+        .when(did % 7 == 3, F.lit(".Example.BD"))
+        .otherwise(F.lit(".Example.COM"))
+    )
     url = F.concat(
         F.lit("HTTP"),
         F.when(did % 2 == 0, F.lit("S")).otherwise(F.lit("")),
         F.lit("://"),
         F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("Site"), (did % 20).cast("string"), F.lit(".Example.COM"),
+        F.lit("Site"), (did % 20).cast("string"), tld,
         F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
         F.when(did % 4 == 0, F.lit("")).otherwise(
             F.concat(F.lit("/Path/"), did.cast("string"))
         ),
         F.lit("?utm_source=x&b=2&a=1"),
         F.when(did % 5 == 0, F.lit("&fbclid=abc")).otherwise(F.lit("")),
+        # valueless tracking param (the '?fbclid' form) must strip too
+        F.when(did % 5 == 1, F.lit("&utm_campaign")).otherwise(F.lit("")),
         F.lit("#frag"), did.cast("string"),
     )
     return canonicalize_urls(
@@ -917,6 +928,20 @@ def q_graph_match(spark, sf_dir):
         [("Customer", "inNation", "Nation"), ("Nation", "inRegion", "Region")],
         where={2: {"name": "ASIA"}},
     ).select("n0_key", "n1_key", "n2_key")
+
+
+def q_graph_match_var(spark, sf_dir):
+    """Variable-length path pattern (graph_query.match_chain with a
+    Cypher ``-[*1..2]->`` hop): every node 1 OR 2 hops downstream of a
+    Customer — its Nation (1 hop) and its Region (2 hops) — as DISTINCT
+    endpoint pairs; the oracle unrolls the two join powers into a UNION
+    CTE (walk semantics on both sides)."""
+    from ontologybasedkgcreation_spark.operators.graph_query import match_chain
+
+    nodes, edges = _tpch_graph(spark, sf_dir)
+    return match_chain(
+        nodes, edges, [("Customer", "*1..2", None)]
+    ).select("n0_key", "n1_key")
 
 
 def q_graph_khop(spark, sf_dir):
@@ -1067,6 +1092,47 @@ def q_media_decode_video(spark, sf_dir):
                 idx = list(range(0, meta["n_frames"], step))
                 dec = decode_avi_mjpeg(payload, indices=idx)["frames"]
                 sums.append(int(sum(int(fr.sum()) for fr in dec)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixel_sum": sums})
+
+    return d.select("doc_id").mapInPandas(
+        _roundtrip, schema="doc_id long, pixel_sum long"
+    )
+
+
+def q_media_decode_video_raw(spark, sf_dir):
+    """REAL uncompressed-video decode (BI_RGB 24-bit DIB inside the
+    RIFF/AVI container, operators/avi.py): per document a 2-frame
+    8x13x3 RGB gradient video — width 13 forces the 4-byte DIB row-stride
+    pad — is container-encoded and decoded back through the codec
+    dispatcher (decode_avi).  Raw DIB is pixel-exact for ARBITRARY
+    content (no quantizer anywhere), so the oracle recomputes the pixel
+    sum arithmetically from the same gradient formula."""
+    import numpy as np
+    import pandas as pd
+
+    from ontologybasedkgcreation_spark.operators.avi import (
+        decode_avi,
+        encode_avi_raw,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    y = np.arange(8)[:, None, None]
+    x = np.arange(13)[None, :, None]
+    c = np.arange(3)[None, None, :]
+
+    def _roundtrip(batches):
+        for pdf in batches:
+            sums = []
+            for did in pdf["doc_id"]:
+                frames = [
+                    ((int(did) * 7 + f * 31 + y * 5 + x * 3 + c * 17) % 256)
+                    .astype(np.uint8)
+                    for f in range(2)
+                ]
+                payload = encode_avi_raw(frames, fps=4)
+                dec = decode_avi(payload)
+                assert dec["compression"] == "BI_RGB"
+                sums.append(int(sum(int(fr.sum()) for fr in dec["frames"])))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "pixel_sum": sums})
 
     return d.select("doc_id").mapInPandas(
@@ -1231,12 +1297,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur": q_cooccur,
         "onto_closure": q_onto_closure,
         "graph_match": q_graph_match,
+        "graph_match_var": q_graph_match_var,
         "graph_khop": q_graph_khop,
         "graph_labels": q_graph_labels,
         "graph_pagerank": q_graph_pagerank,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_video": q_media_decode_video,
+        "media_decode_video_raw": q_media_decode_video_raw,
         "media_bytes": q_media_bytes,
         "stream_dedup": q_stream_dedup,
         "stream_window": q_stream_window,
@@ -1287,6 +1355,45 @@ def _embed_sw() -> str:
     )
 
     return ", ".join(f"'{s}'" for s in EMBED_STOPWORDS)
+
+
+def _psl_domain_sql() -> dict:
+    """PSL registrable-domain SQL fragments generated from the SAME
+    vendored rule sets the Spark operator compiles to InSet lookups
+    (operators/psl.py) — lockstep by construction.  Returns the
+    last-k-label defs, the suffix-length CASE and the domain CASE as a
+    dict of fragments the url_canonicalize oracle splices in."""
+    from ontologybasedkgcreation_spark.operators.psl import load_psl
+
+    r = load_psl()
+
+    def _in(vals):
+        return "(" + ", ".join(f"'{v}'" for v in sorted(vals)) + ")"
+
+    lk_defs = []
+    for k in range(1, r.max_suffix + 1):
+        joined = " || '.' || ".join(
+            f"labels[nl - {k - i}]" for i in range(1, k + 1)
+        )
+        lk_defs.append(f"CASE WHEN nl >= {k} THEN {joined} END AS l{k}")
+    branches = []
+    for d in sorted(r.exc, reverse=True):
+        branches.append(f"WHEN l{d} IN {_in(r.exc[d])} THEN {d - 1}")
+    for d in range(r.max_suffix, 1, -1):
+        conds = []
+        if d in r.exact:
+            conds.append(f"l{d} IN {_in(r.exact[d])}")
+        if (d - 1) in r.wild:
+            conds.append(f"(l{d - 1} IN {_in(r.wild[d - 1])} AND nl >= {d})")
+        if conds:
+            branches.append(f"WHEN {' OR '.join(conds)} THEN {d}")
+    return {
+        "lk": ",\n         ".join(lk_defs),
+        "suffix": "CASE " + "\n              ".join(branches)
+        + " ELSE 1 END",
+        "domain": "CASE WHEN nl > sl THEN "
+        "array_to_string(labels[nl - sl : nl], '.') ELSE host END",
+    }
 
 
 def _onto_values() -> str:
@@ -1845,18 +1952,25 @@ FROM documents d LEFT JOIN per USING (doc_id)
 """,
         # url_canonicalize: identical messy-URL construction, then the
         # same canonicalization rules replayed with RE2-safe regexes;
-        # bytewise param sort matches Spark array_sort on ASCII
+        # bytewise param sort matches Spark array_sort on ASCII; the
+        # registrable-domain CASEs are generated from the SAME vendored
+        # PSL rule sets the Spark operator uses (_psl_domain_sql)
         "url_canonicalize": r"""
 WITH base AS (
   SELECT doc_id,
          'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END || '://'
          || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
-         || 'Site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM'
+         || 'Site' || CAST(doc_id % 20 AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 1 THEN '.Example.CO.UK'
+                 WHEN doc_id % 7 = 2 THEN '.Example.GOV.IN'
+                 WHEN doc_id % 7 = 3 THEN '.Example.BD'
+                 ELSE '.Example.COM' END
          || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
          || CASE WHEN doc_id % 4 = 0 THEN ''
                  ELSE '/Path/' || CAST(doc_id AS VARCHAR) END
          || '?utm_source=x&b=2&a=1'
          || CASE WHEN doc_id % 5 = 0 THEN '&fbclid=abc' ELSE '' END
+         || CASE WHEN doc_id % 5 = 1 THEN '&utm_campaign' ELSE '' END
          || '#frag' || CAST(doc_id AS VARCHAR) AS url
   FROM documents
 ), parts AS (
@@ -1882,9 +1996,19 @@ WITH base AS (
          list_sort(list_filter(
              list_filter(string_split(q, '&'), p -> p <> ''),
              p -> NOT regexp_matches(
-                 p, '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)='))) AS kept,
-         string_split(host, '.') AS labels
+                 p, '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)(=|$)')))
+             AS kept,
+         string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS nl
   FROM hostp
+), lk AS (
+  SELECT *,
+         __PSL_LK__
+  FROM lists
+), sfx AS (
+  SELECT *,
+         __PSL_SUFFIX__ AS sl
+  FROM lk
 )
 SELECT doc_id,
        scheme || '://' || host || path
@@ -1892,14 +2016,14 @@ SELECT doc_id,
                THEN '?' || array_to_string(kept, '&') ELSE '' END
            AS canon_url,
        host,
-       CASE WHEN len(labels) >= 2
-            THEN labels[len(labels) - 1] || '.' || labels[len(labels)]
-            ELSE host END AS domain,
+       __PSL_DOMAIN__ AS domain,
        path,
        CAST(len(kept) AS BIGINT) AS n_params,
        CAST(len(params) - len(kept) AS BIGINT) AS n_tracking
-FROM lists
-""",
+FROM sfx
+""".replace("__PSL_LK__", _psl_domain_sql()["lk"])
+        .replace("__PSL_SUFFIX__", _psl_domain_sql()["suffix"])
+        .replace("__PSL_DOMAIN__", _psl_domain_sql()["domain"]),
         # stratified_sample: identical 60-bit md5 hash (15 hex chars) and
         # integer thresholds int(rate * 2^60); rates cycle by the source
         # number mod 4 -> literal thresholds 0, 2^58, 2^59, 3*2^58
@@ -2061,6 +2185,19 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
 """,
+        # graph_match_var: the *1..2 variable-length hop unrolled into its
+        # two join powers (1-hop and 2-hop walks), DISTINCT endpoint pairs
+        "graph_match_var": """
+SELECT DISTINCT n0_key, n1_key FROM (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS n0_key,
+         'n:' || CAST(c_nationkey AS VARCHAR) AS n1_key
+  FROM customer
+  UNION ALL
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR),
+         'r:' || CAST(n_regionkey AS VARCHAR)
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+""",
         "graph_khop": """
 SELECT 'r:' || CAST(r_regionkey AS VARCHAR) AS node_key,
        CAST(0 AS BIGINT) AS hops
@@ -2192,6 +2329,19 @@ FROM documents
 SELECT doc_id,
        CAST((SELECT sum(256 * ((doc_id * 11 + 53 * f) % 256))
              FROM unnest([0, 2]) AS t(f)) AS BIGINT)
+           AS pixel_sum
+FROM documents
+""",
+        # media_decode_video_raw: raw DIB is pixel-exact for arbitrary
+        # content — the oracle recomputes the 2x8x13x3 gradient sum
+        # term-by-term from the same formula
+        "media_decode_video_raw": """
+SELECT doc_id,
+       CAST((SELECT sum((doc_id * 7 + f * 31 + y * 5 + x * 3 + c * 17) % 256)
+             FROM generate_series(0, 1) t1(f),
+                  generate_series(0, 7) t2(y),
+                  generate_series(0, 12) t3(x),
+                  generate_series(0, 2) t4(c)) AS BIGINT)
            AS pixel_sum
 FROM documents
 """,

@@ -322,7 +322,11 @@ def extract_from_text(text: str) -> List[Triple]:
             ("appellant", "appellantArgument"),
             ("petitioner", "petitionerArgument"),
         ):
-            if low.startswith(role):
+            # word boundary required after the role token: "appellants" /
+            # "appellant's" must NOT match and leave a junk "s" party name —
+            # those fall through to the respondent branch like any other
+            # unrecognized phrase
+            if low == role or low.startswith(role + " "):
                 name = party[len(role):].strip()
                 triples.append(
                     (m.start(), "Argument", arg, rel, role.title(), _s(name))

@@ -73,6 +73,71 @@ def _node_side(
     return n.select(*cols)
 
 
+def _parse_rel_spec(rel: Optional[str]) -> Tuple[Optional[str], int, int]:
+    """Cypher-shaped relationship spec -> (rel_or_None, min_hops,
+    max_hops).  ``'rel'`` = one hop; ``'rel*1..3'`` / ``'*2..4'`` /
+    ``'rel*..3'`` (min defaults 1) / ``'rel*2'`` (exactly 2) are the
+    ``-[:rel*min..max]->`` variable-length forms; bare ``'*'`` is
+    rejected (an unbounded traversal is never the budgeted shape —
+    ``k_hop`` is the explicit frontier tool)."""
+    if rel is None or "*" not in rel:
+        return rel, 1, 1
+    name, _, span = rel.partition("*")
+    if span == "":
+        raise ValueError(
+            f"unbounded variable-length hop {rel!r}: give an explicit "
+            "bound ('rel*1..k') — use k_hop for open frontier expansion"
+        )
+    lo, dots, hi = span.partition("..")
+    try:
+        min_h = int(lo) if lo else 1
+        max_h = int(hi) if dots else min_h
+    except ValueError:
+        raise ValueError(f"malformed variable-length hop spec {rel!r}")
+    if min_h < 1 or max_h < min_h:
+        raise ValueError(
+            f"variable-length bounds must satisfy 1 <= min <= max: {rel!r}"
+        )
+    return (name or None), min_h, max_h
+
+
+def _var_length_pairs(
+    edges: DataFrame, rel: Optional[str], min_h: int, max_h: int,
+    origins: DataFrame,
+) -> DataFrame:
+    """Distinct (origin, dst) endpoint pairs connected by a path of
+    ``min_h..max_h`` edges of ``rel`` starting from ``origins`` (one
+    column).  Walk semantics (the unrolled join-power reachability —
+    exactly what the oracle's UNION CTE replays); per-level DISTINCT
+    bounds every frontier by |origins| x |nodes| so cycles terminate, and
+    each level is ONE eager checkpoint (the k_hop discipline) so the
+    emptiness probe never recomputes the chain."""
+    e = edges
+    if rel is not None:
+        e = e.filter(F.col("relationship") == rel)
+    e = e.select(F.col("src_key").alias("u"), F.col("dst_key").alias("v"))
+    frontier = origins.select(
+        F.col(origins.columns[0]).alias("origin"),
+        F.col(origins.columns[0]).alias("cur"),
+    ).distinct()
+    acc = None
+    for step in range(1, max_h + 1):
+        frontier = (
+            frontier.join(e, frontier["cur"] == e["u"])
+            .select("origin", F.col("v").alias("cur"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if not frontier.take(1):
+            break
+        if step >= min_h:
+            acc = frontier if acc is None else acc.unionByName(frontier)
+    if acc is None:
+        # no path long enough anywhere: empty (origin, cur) frame
+        return frontier.limit(0)
+    return acc.distinct()
+
+
 def match_chain(
     nodes: DataFrame,
     edges: DataFrame,
@@ -91,6 +156,13 @@ def match_chain(
     binding of the pattern with columns ``n{i}_key`` (+ ``n{i}_label`` /
     ``n{i}_props`` when ``keep_props``).
 
+    A hop's relationship may be a VARIABLE-LENGTH spec — ``'cited*1..3'``
+    / ``'*2..4'`` / ``'rel*2'`` — the Cypher ``-[:rel*min..max]->``
+    pattern (notebook QA cells): the two bindings it connects are then
+    DISTINCT endpoint pairs joined by a path of min..max same-spec edges
+    (walk semantics, bounded expansion with one checkpoint per level;
+    intermediate nodes are unlabeled and unbound, per Cypher).
+
     Each hop is edges filtered on its relationship joined to the
     label/property-filtered node table; node filters sit on the scan side
     of the joins, so Catalyst pushes them into the parquet read.
@@ -104,14 +176,28 @@ def match_chain(
         nodes, "n0", chain[0][0], where.get(0), keep_props, label_scope
     )
     for i, (_, rel, dst_label) in enumerate(chain):
-        e = edges
-        if rel is not None:
-            e = e.filter(F.col("relationship") == rel)
-        e = e.select(
-            F.col("src_key").alias(f"n{i}_key"),
-            F.col("dst_key").alias(f"n{i + 1}_key"),
-        )
-        out = out.join(e, f"n{i}_key")
+        rel_name, min_h, max_h = _parse_rel_spec(rel)
+        if (min_h, max_h) == (1, 1):
+            e = edges
+            if rel_name is not None:
+                e = e.filter(F.col("relationship") == rel_name)
+            e = e.select(
+                F.col("src_key").alias(f"n{i}_key"),
+                F.col("dst_key").alias(f"n{i + 1}_key"),
+            )
+            out = out.join(e, f"n{i}_key")
+        else:
+            pairs = _var_length_pairs(
+                edges, rel_name, min_h, max_h,
+                out.select(f"n{i}_key").distinct(),
+            )
+            out = out.join(
+                pairs.select(
+                    F.col("origin").alias(f"n{i}_key"),
+                    F.col("cur").alias(f"n{i + 1}_key"),
+                ),
+                f"n{i}_key",
+            )
         dst = _node_side(
             nodes, f"n{i + 1}", dst_label, where.get(i + 1), keep_props,
             label_scope,
@@ -197,16 +283,23 @@ def pagerank(
     fwd = edges.select(
         F.col("src_key").alias("u"), F.col("dst_key").alias("v")
     )
+    endpoints = (
+        fwd.select(F.col("u").alias("node_key"))
+        .unionByName(fwd.select(F.col("v").alias("node_key")))
+        .distinct()
+    )
     if vertices is not None:
-        verts = vertices.select(
-            F.col(vertices.columns[0]).alias("node_key")
-        ).distinct()
-    else:
+        # An explicit vertex frame that omits edge endpoints would silently
+        # leak rank mass (contributions joined to missing nodes drop;
+        # out-edges from missing sources contribute nothing), breaking the
+        # sum(rank)==1 invariant — so the endpoint set is always unioned in.
         verts = (
-            fwd.select(F.col("u").alias("node_key"))
-            .unionByName(fwd.select(F.col("v").alias("node_key")))
+            vertices.select(F.col(vertices.columns[0]).alias("node_key"))
+            .unionByName(endpoints)
             .distinct()
         )
+    else:
+        verts = endpoints
     verts = verts.localCheckpoint()
     n = verts.count()
     if n == 0:

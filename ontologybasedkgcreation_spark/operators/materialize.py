@@ -391,15 +391,17 @@ class GraphWriter:
     def _meta_file(self, path: str) -> str:
         return os.path.join(path, "_buckets.json")
 
-    def _write_meta(self, path: str) -> None:
+    def _write_meta(self, path: str, partition_col="__current__") -> None:
         import json
 
+        if partition_col == "__current__":
+            partition_col = self.node_partition_col
         os.makedirs(path, exist_ok=True)
         with open(self._meta_file(path), "w", encoding="utf-8") as fh:
             json.dump(
                 {
                     "buckets": self.buckets,
-                    "node_partition_col": self.node_partition_col,
+                    "node_partition_col": partition_col,
                 },
                 fh,
             )
@@ -413,11 +415,15 @@ class GraphWriter:
                 stored = meta["buckets"]
         except (OSError, ValueError, KeyError, TypeError):
             # pre-sidecar (legacy) or truncated/corrupt sidecar: nothing
-            # trustworthy to check against — record the CURRENT bucket count
-            # as authoritative so the next merge with a different count is
-            # caught instead of silently leaving stale duplicate keys
-            self._write_meta(path)
-            return
+            # trustworthy to check against — back-fill the CURRENT bucket
+            # count (so a later merge with a different count is caught) but
+            # record node_partition_col=None, the ONLY layout pre-sidecar
+            # writers ever produced.  Stamping the new writer's column here
+            # would bless a mixed head_label=/bucket= layout and strand the
+            # legacy rows; instead let the equality check below raise.
+            self._write_meta(path, partition_col=None)
+            meta = {"buckets": self.buckets, "node_partition_col": None}
+            stored = self.buckets
         if stored != self.buckets:
             raise ValueError(
                 f"GraphWriter(buckets={self.buckets}) cannot merge into "

@@ -311,9 +311,11 @@ def decode_real(payload: bytes, kind: str) -> np.ndarray:
             img = decode_jpeg(payload)
         return _image_features(img)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        from .avi import decode_avi_mjpeg
+        from .avi import decode_avi
 
-        frames = decode_avi_mjpeg(payload, indices=[0])["frames"]
+        # codec dispatch: MJPG via T.81, BI_RGB raw DIB via byte
+        # arithmetic; H.264-class codecs raise (decode_stub boundary)
+        frames = decode_avi(payload, indices=[0])["frames"]
         return _image_features(frames[0]) if frames else out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         wav = decode_wav(payload)
@@ -383,7 +385,7 @@ def frame_sample_features(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     this is the whole ballgame.  One Arrow stage; a task holds a batch
     of payloads, so size ``spark.sql.files.maxPartitionBytes`` for a few
     hundred payloads per task (module docstring)."""
-    from .avi import avi_metadata, decode_avi_mjpeg
+    from .avi import avi_metadata, decode_avi
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -396,7 +398,7 @@ def frame_sample_features(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     continue
                 step = max(int(round(every_ms * fps / 1000.0)), 1)
                 idx = list(range(0, meta["n_frames"], step))
-                frames = decode_avi_mjpeg(payload, indices=idx)["frames"]
+                frames = decode_avi(payload, indices=idx)["frames"]
                 for i, img in zip(idx, frames):
                     ids.append(mid)
                     tss.append(int(round(i * 1000.0 / fps)))

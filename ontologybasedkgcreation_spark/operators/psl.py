@@ -1,0 +1,530 @@
+"""Public-Suffix-List registrable-domain support for URL canonicalization.
+
+The Common-Crawl dedup key step groups URLs by *registrable domain* (the
+public suffix plus one label).  The last-two-labels heuristic mis-keys
+every ``*.co.uk`` / ``*.gov.in`` host — a CC-scale user hits that
+immediately — so this module implements the full PSL matching algorithm
+(https://publicsuffix.org/list/ — exact rules, ``*.`` wildcard rules,
+``!`` exception rules, longest-match-wins with exceptions prevailing)
+as a pure Spark expression: literal ``isin`` sets compiled to InSet
+hash lookups, whole-stage codegen, zero Python per row.
+
+Rule data: a vendored SUBSET of the public-domain-usable Mozilla PSL
+(MPL 2.0 licensed public data) covering the high-traffic ccTLD
+registries and every wildcard/exception family, embedded below so the
+engine is hermetic.  A deployment drops the full ``public_suffix_list.dat``
+next to the job and points ``ONTOKG_PSL_PATH`` at it (or passes
+``load_psl(path)``) — the parser reads the standard format, so the
+swap-in is data-only.  Unknown TLDs fall back to the PSL's implicit
+``*`` default rule (the TLD itself is the suffix), which degrades to
+exactly the old last-two-labels behaviour.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, NamedTuple, Optional, Set
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Vendored PSL subset (see module docstring).  Exact second-level
+# registry rules for the highest-traffic ccTLDs, every current
+# wildcard family, and the canonical exception rules.  Format is the
+# standard PSL line format so the same parser reads this and a full
+# downloaded list.
+_BUILTIN_PSL = """
+// ac.* style Commonwealth registries
+co.uk
+org.uk
+me.uk
+ltd.uk
+plc.uk
+net.uk
+ac.uk
+gov.uk
+nhs.uk
+police.uk
+*.sch.uk
+com.au
+net.au
+org.au
+edu.au
+gov.au
+asn.au
+id.au
+ac.nz
+co.nz
+geek.nz
+gen.nz
+govt.nz
+kiwi.nz
+maori.nz
+net.nz
+org.nz
+school.nz
+ac.jp
+ad.jp
+co.jp
+ed.jp
+go.jp
+gr.jp
+lg.jp
+ne.jp
+or.jp
+*.kawasaki.jp
+*.kitakyushu.jp
+*.kobe.jp
+*.nagoya.jp
+*.sapporo.jp
+*.sendai.jp
+*.yokohama.jp
+!city.kawasaki.jp
+!city.kitakyushu.jp
+!city.kobe.jp
+!city.nagoya.jp
+!city.sapporo.jp
+!city.sendai.jp
+!city.yokohama.jp
+co.in
+firm.in
+net.in
+org.in
+gen.in
+ind.in
+ac.in
+edu.in
+res.in
+gov.in
+mil.in
+nic.in
+com.br
+net.br
+org.br
+gov.br
+edu.br
+art.br
+blog.br
+eco.br
+emp.br
+ac.cn
+com.cn
+edu.cn
+gov.cn
+net.cn
+org.cn
+mil.cn
+ac.za
+co.za
+edu.za
+gov.za
+law.za
+mil.za
+net.za
+nom.za
+org.za
+school.za
+web.za
+ac.kr
+co.kr
+es.kr
+go.kr
+hs.kr
+kg.kr
+mil.kr
+ms.kr
+ne.kr
+or.kr
+pe.kr
+re.kr
+sc.kr
+com.mx
+net.mx
+org.mx
+edu.mx
+gob.mx
+com.ar
+edu.ar
+gob.ar
+gov.ar
+int.ar
+mil.ar
+net.ar
+org.ar
+com.tr
+net.tr
+org.tr
+gov.tr
+edu.tr
+av.tr
+bel.tr
+biz.tr
+gen.tr
+web.tr
+ac.il
+co.il
+gov.il
+idf.il
+k12.il
+muni.il
+net.il
+org.il
+com.sg
+net.sg
+org.sg
+gov.sg
+edu.sg
+per.sg
+com.my
+net.my
+org.my
+gov.my
+edu.my
+mil.my
+name.my
+com.hk
+edu.hk
+gov.hk
+idv.hk
+net.hk
+org.hk
+com.tw
+edu.tw
+gov.tw
+idv.tw
+mil.tw
+net.tw
+org.tw
+ac.th
+co.th
+go.th
+in.th
+mi.th
+net.th
+or.th
+ac.id
+biz.id
+co.id
+desa.id
+go.id
+mil.id
+my.id
+net.id
+or.id
+sch.id
+web.id
+com.ph
+net.ph
+org.ph
+gov.ph
+edu.ph
+ngo.ph
+i.ph
+com.vn
+net.vn
+org.vn
+edu.vn
+gov.vn
+int.vn
+ac.vn
+biz.vn
+info.vn
+name.vn
+pro.vn
+health.vn
+com.ua
+net.ua
+org.ua
+edu.ua
+gov.ua
+in.ua
+com.pl
+net.pl
+org.pl
+edu.pl
+gov.pl
+info.pl
+waw.pl
+com.eg
+edu.eg
+eun.eg
+gov.eg
+mil.eg
+name.eg
+net.eg
+org.eg
+sci.eg
+com.sa
+net.sa
+org.sa
+gov.sa
+med.sa
+pub.sa
+edu.sa
+sch.sa
+com.pk
+net.pk
+edu.pk
+org.pk
+fam.pk
+biz.pk
+web.pk
+gov.pk
+gob.pk
+gok.pk
+gon.pk
+gop.pk
+gos.pk
+com.ng
+edu.ng
+gov.ng
+i.ng
+mil.ng
+mobi.ng
+name.ng
+net.ng
+org.ng
+sch.ng
+ac.ke
+co.ke
+go.ke
+info.ke
+me.ke
+mobi.ke
+ne.ke
+or.ke
+sc.ke
+com.pe
+edu.pe
+gob.pe
+mil.pe
+net.pe
+nom.pe
+org.pe
+com.co
+edu.co
+gov.co
+mil.co
+net.co
+nom.co
+org.co
+com.ec
+info.ec
+net.ec
+fin.ec
+k12.ec
+med.ec
+pro.ec
+org.ec
+edu.ec
+gov.ec
+gob.ec
+mil.ec
+com.uy
+edu.uy
+gub.uy
+mil.uy
+net.uy
+org.uy
+com.py
+coop.py
+edu.py
+gov.py
+mil.py
+net.py
+org.py
+com.bo
+edu.bo
+gob.bo
+int.bo
+org.bo
+net.bo
+mil.bo
+tv.bo
+web.bo
+ac.cr
+co.cr
+ed.cr
+fi.cr
+go.cr
+or.cr
+sa.cr
+art.do
+com.do
+edu.do
+gob.do
+gov.do
+mil.do
+net.do
+org.do
+sld.do
+web.do
+com.gt
+edu.gt
+gob.gt
+ind.gt
+mil.gt
+net.gt
+org.gt
+gov.lk
+sch.lk
+net.lk
+int.lk
+com.lk
+org.lk
+edu.lk
+ngo.lk
+soc.lk
+web.lk
+ltd.lk
+assn.lk
+grp.lk
+hotel.lk
+ac.lk
+// wildcard families
+*.bd
+*.np
+*.mm
+*.kh
+*.pg
+*.er
+*.fk
+*.ck
+!www.ck
+"""
+
+
+class PslRules(NamedTuple):
+    """Parsed PSL grouped by label depth: ``exact[d]`` = d-label exact
+    rules, ``wild[d]`` = d-label BASES of ``*.base`` rules (the matching
+    suffix is then d+1 labels), ``exc[d]`` = d-label exception hosts
+    (suffix is then d-1 labels)."""
+
+    exact: Dict[int, Set[str]]
+    wild: Dict[int, Set[str]]
+    exc: Dict[int, Set[str]]
+    max_suffix: int
+
+
+def parse_psl(text: str) -> PslRules:
+    """Parse standard PSL line format (``//`` comments, blank lines,
+    ``*.`` wildcards, ``!`` exceptions).  Rules are lowercased; the
+    implicit ``*`` default rule is handled by the matcher, not stored."""
+    exact: Dict[int, Set[str]] = {}
+    wild: Dict[int, Set[str]] = {}
+    exc: Dict[int, Set[str]] = {}
+    max_suffix = 1
+    for raw in text.splitlines():
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        # a full PSL file carries whitespace-separated trailing junk never
+        # in practice, but the spec says the rule is up to the first ws
+        line = line.split()[0]
+        if line.startswith("!"):
+            host = line[1:]
+            d = host.count(".") + 1
+            exc.setdefault(d, set()).add(host)
+            max_suffix = max(max_suffix, d)
+        elif line.startswith("*."):
+            base = line[2:]
+            d = base.count(".") + 1
+            wild.setdefault(d, set()).add(base)
+            max_suffix = max(max_suffix, d + 1)
+        else:
+            d = line.count(".") + 1
+            exact.setdefault(d, set()).add(line)
+            max_suffix = max(max_suffix, d)
+    return PslRules(exact=exact, wild=wild, exc=exc, max_suffix=max_suffix)
+
+
+_CACHE: Dict[str, PslRules] = {}
+
+
+def load_psl(path: Optional[str] = None) -> PslRules:
+    """Resolve the rule set: explicit ``path`` > ``ONTOKG_PSL_PATH`` env
+    (checked at call time, the abbreviation-dictionary discipline) >
+    vendored builtin subset.  Parsed rules are cached per path."""
+    resolved = path or os.environ.get("ONTOKG_PSL_PATH") or ""
+    key = resolved or "<builtin>"
+    if key not in _CACHE:
+        if resolved:
+            with open(resolved, encoding="utf-8") as fh:
+                _CACHE[key] = parse_psl(fh.read())
+        else:
+            _CACHE[key] = parse_psl(_BUILTIN_PSL)
+    return _CACHE[key]
+
+
+def _last_k(labels: Column, n: Column, k: int) -> Column:
+    """Dotted string of the last k labels, NULL when the host has fewer
+    (guarded: element_at never sees an out-of-range index under ANSI)."""
+    parts = [F.element_at(labels, -i) for i in range(k, 0, -1)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.concat(joined, F.lit("."), p)
+    return F.when(n >= k, joined)
+
+
+def suffix_len_expr(host: Column, rules: Optional[PslRules] = None) -> Column:
+    """Public-suffix label count for ``host`` as a pure Column.
+
+    PSL algorithm: exception rules prevail (suffix = rule minus its
+    leftmost label), else the longest matching rule wins, else the
+    implicit ``*`` default (the bare TLD).  Compiled as one when-chain
+    of InSet lookups over the last-k-label strings — branch conditions
+    on NULL last-k (short hosts) are NULL => not taken, and CaseWhen
+    only evaluates the matched branch, so ANSI mode is safe."""
+    rules = rules or load_psl()
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    lastk = {
+        k: _last_k(labels, n, k) for k in range(1, rules.max_suffix + 1)
+    }
+    expr = None
+    # exceptions first (deepest first), then longest-match
+    for d in sorted(rules.exc, reverse=True):
+        cond = lastk[d].isin(sorted(rules.exc[d]))
+        branch = (cond, F.lit(d - 1))
+        expr = (expr.when(*branch) if expr is not None
+                else F.when(*branch))
+    for d in range(rules.max_suffix, 1, -1):
+        conds = []
+        if d in rules.exact:
+            conds.append(lastk[d].isin(sorted(rules.exact[d])))
+        if (d - 1) in rules.wild:
+            # *.base with a (d-1)-label base matches any d-label suffix
+            conds.append(
+                lastk[d - 1].isin(sorted(rules.wild[d - 1])) & (n >= d)
+            )
+        if not conds:
+            continue
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        expr = (expr.when(cond, F.lit(d)) if expr is not None
+                else F.when(cond, F.lit(d)))
+    default = F.lit(1)
+    return expr.otherwise(default) if expr is not None else default
+
+
+def registrable_domain_expr(
+    host: Column, rules: Optional[PslRules] = None
+) -> Column:
+    """Registrable domain (public suffix + one label) for ``host``.
+
+    A host that IS a public suffix (or empty) passes through unchanged —
+    the never-NULL contract ``canonicalize_urls`` had with its old
+    last-two-labels heuristic."""
+    rules = rules or load_psl()
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    sl = suffix_len_expr(host, rules)
+    expr = None
+    for d in range(rules.max_suffix, 0, -1):
+        branch = (
+            (sl == d) & (n > d),
+            _last_k(labels, n, d + 1),
+        )
+        expr = (expr.when(*branch) if expr is not None
+                else F.when(*branch))
+    return expr.otherwise(host)

@@ -181,13 +181,28 @@ def strip_boilerplate(
         F.array_sort(F.collect_list(F.struct("_pos", "_b", "_line"))),
         lambda s: s["_b"].isNull(),
     )
-    return marked.groupBy(id_col).agg(
+    cleaned = marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(kept, lambda s: s["_line"]), "\n"
         ).alias("clean_text"),
         F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_boilerplate_lines"),
+    )
+    # NULL-text docs produce no exploded lines (split(NULL) -> NULL,
+    # posexplode emits nothing) and would silently vanish from the output;
+    # left-join back to the full id set so every input doc appears, with
+    # the same ''/0 defaults redact_pii-style passthrough ops use.
+    return (
+        df.select(id_col)
+        .join(cleaned, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_boilerplate_lines"), F.lit(0))
+            .cast("long")
+            .alias("n_boilerplate_lines"),
+        )
     )
 
 
@@ -377,7 +392,9 @@ def unigram_logprob(
     )
 
 
-TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)="
+# optional value: bare '?fbclid' / 'utm_source' (valueless tracking
+# params) must strip too, or otherwise-identical URLs stay distinct
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref)(=|$)"
 
 
 def canonicalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
@@ -391,11 +408,13 @@ def canonicalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
     scheme+host lowercased; leading ``www.`` stripped; default ports
     (``:80`` http, ``:443`` https) stripped; empty path becomes ``/``;
     fragment dropped; tracking params (``utm_*``/fbclid/gclid/msclkid/
-    ref) dropped; surviving params sorted bytewise.  Returns
+    ref, with or without a value) dropped; surviving params sorted
+    bytewise.  Returns
     (id, canon_url, host, domain, path, n_params, n_tracking) where
-    ``domain`` is the last-two-labels registrable-domain heuristic (a
-    deployment swaps in the public-suffix list; the column contract is
-    the integration point)."""
+    ``domain`` is the PSL registrable domain (public suffix + one
+    label, full exception/wildcard semantics — see ``psl.py``; point
+    ``ONTOKG_PSL_PATH`` at a full ``public_suffix_list.dat`` to swap
+    the vendored subset for the complete list)."""
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host_port = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]+)", 1))
@@ -413,13 +432,9 @@ def canonicalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         F.filter(params, lambda p: ~p.rlike(TRACKING_PARAM_RE))
     )
     canon_q = F.array_join(kept, "&")
-    labels = F.split(host, r"\.")
-    domain = F.when(
-        F.size(labels) >= 2,
-        F.concat(
-            F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
-        ),
-    ).otherwise(host)
+    from .psl import registrable_domain_expr
+
+    domain = registrable_domain_expr(host)
     canon = F.concat(
         scheme,
         F.lit("://"),

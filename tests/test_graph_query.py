@@ -54,6 +54,92 @@ def test_match_two_hop_chain(spark, graph):
     assert expected > 0
 
 
+def test_match_variable_length_hop(spark):
+    """-[*min..max]-> semantics on a hand graph with a cycle: walk
+    reachability per length band, DISTINCT endpoint pairs, min>1 keeps a
+    short-path pair when a longer in-band path also exists, rel-filtered
+    specs only follow that relationship, and malformed specs raise."""
+    from ontologybasedkgcreation_spark.operators.graph_query import (
+        _parse_rel_spec,
+    )
+
+    # a->b->c->a cycle, a->d (dead end), a-x->e via another relationship
+    nodes = spark.createDataFrame(
+        [(k, "N", ["N"], {}) for k in "abcde"],
+        "node_key string, head_label string, labels array<string>, "
+        "props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"),
+         ("a", "r", "d"), ("a", "x", "e")],
+        "src_key string, relationship string, dst_key string",
+    )
+
+    def pairs(spec, where=None):
+        return {
+            (r["n0_key"], r["n1_key"])
+            for r in match_chain(
+                nodes, edges, [(None, spec, None)], where=where
+            ).collect()
+        }
+
+    got = pairs("r*1..2")
+    # from a: 1 hop {b,d}, 2 hops {c}; from b: {c},{a}; from c: {a},{b,d}
+    assert {(s, t) for s, t in got if s == "a"} == {
+        ("a", "b"), ("a", "d"), ("a", "c")
+    }
+    assert {(s, t) for s, t in got if s == "b"} == {("b", "c"), ("b", "a")}
+    # min>1: only the 2..3-hop band; a reaches a itself via the 3-cycle
+    got23 = pairs("r*2..3")
+    assert ("a", "c") in got23 and ("a", "a") in got23
+    assert ("a", "b") not in got23  # b is only 1 (or 4+) hops from a
+    assert ("a", "d") not in got23  # d only at hop 1
+    # rel filter: the x edge is invisible to r-specs
+    assert ("a", "e") not in got
+    assert pairs("x*1..2") == {("a", "e")}
+    # exact count spec 'r*2'
+    got2 = pairs("r*2")
+    assert {(s, t) for s, t in got2 if s == "a"} == {("a", "c")}
+    # spec parsing corner cases
+    assert _parse_rel_spec("rel") == ("rel", 1, 1)
+    assert _parse_rel_spec("rel*..3") == ("rel", 1, 3)
+    assert _parse_rel_spec("*2..4") == (None, 2, 4)
+    for bad in ("rel*", "*", "rel*0..2", "rel*3..2", "rel*a..b"):
+        with pytest.raises(ValueError):
+            _parse_rel_spec(bad)
+
+
+def test_match_var_hop_composes_with_fixed_hops(spark, graph):
+    """A var-length hop inside a longer chain: CourtCase -[cited*1..2]->
+    CourtCase -[:hasRulingOf]-> Court equals the union of the 1- and
+    2-hop cited expansions joined to hasRulingOf (cited precedents carry
+    hasRulingOf edges in the fixture grammar)."""
+    nodes, edges = graph
+    got = {
+        (r["n0_key"], r["n1_key"], r["n2_key"])
+        for r in match_chain(
+            nodes,
+            edges,
+            [("CourtCase", "cited*1..2", "CourtCase"),
+             ("CourtCase", "hasRulingOf", "Court")],
+        ).collect()
+    }
+    cited = edges.filter(F.col("relationship") == "cited").select(
+        F.col("src_key").alias("a"), F.col("dst_key").alias("b")
+    )
+    two = cited.alias("e1").join(
+        cited.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(F.col("e1.a").alias("a"), F.col("e2.b").alias("b"))
+    reach = cited.unionByName(two).distinct()
+    hr = edges.filter(F.col("relationship") == "hasRulingOf").select(
+        F.col("src_key").alias("b"), F.col("dst_key").alias("j")
+    )
+    expected = {
+        (r["a"], r["b"], r["j"]) for r in reach.join(hr, "b").collect()
+    }
+    assert got == expected and got
+
+
 def test_match_property_filter(spark, graph):
     """The {prop: value} equality map restricts bindings to one case."""
     nodes, edges = graph

@@ -443,6 +443,47 @@ def test_avi_mjpeg_roundtrip_and_metadata():
         avi.encode_avi_mjpeg([])
 
 
+def test_avi_raw_dib_roundtrip():
+    """Round-6: UNCOMPRESSED video — BI_RGB 24-bit DIB frames in the same
+    RIFF container.  No quantizer anywhere, so ARBITRARY content (not
+    just flat gray) round-trips pixel-exactly, including odd widths that
+    force the 4-byte row-stride pad; decode_avi dispatches on the strf
+    compression and raises on codec video (the decode_stub boundary)."""
+    import numpy as np
+
+    from ontologybasedkgcreation_spark.operators import avi
+
+    rng = np.random.default_rng(42)
+    frames = [
+        rng.integers(0, 256, (11, 13, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    payload = avi.encode_avi_raw(frames, fps=6)
+    meta = avi.avi_metadata(payload)
+    assert meta["compression"] == "BI_RGB" and meta["bit_count"] == 24
+    assert meta["handler"] == "DIB " and meta["fps"] == 6.0
+    dec = avi.decode_avi(payload)
+    for got, want in zip(dec["frames"], frames):
+        assert np.array_equal(got, want)
+    # index-restricted decode
+    sub = avi.decode_avi(payload, indices=[2])["frames"]
+    assert len(sub) == 1 and np.array_equal(sub[0], frames[2])
+    # gray input comes back r=g=b
+    g = [np.arange(64, dtype=np.uint8).reshape(8, 8)]
+    dg = avi.decode_avi(avi.encode_avi_raw(g, fps=1))["frames"][0]
+    assert np.array_equal(dg[:, :, 0], g[0]) and np.array_equal(
+        dg[:, :, 1], dg[:, :, 2]
+    )
+    # MJPEG still dispatches through decode_avi
+    pm = avi.encode_avi_mjpeg(
+        [np.full((16, 16), 99, np.uint8)], fps=10, quality=95
+    )
+    assert int(avi.decode_avi(pm)["frames"][0].mean()) == 99
+    # unknown codec fourcc -> the documented decode_stub boundary
+    bad = pm.replace(b"MJPG", b"H264")
+    with pytest.raises(ValueError, match="decode_stub"):
+        avi.decode_avi(bad)
+
+
 def test_video_decode_and_frame_sampling_in_spark(spark):
     """decoder='real' decodes an MJPEG AVI (first-frame features), and
     frame_sample_features emits one decoded-feature row per every_ms with
@@ -698,6 +739,12 @@ def test_canonicalize_urls(spark):
         (3, "http://example.com:8080/p?fbclid=q"),
         (4, "https://sub.shop.co.uk/x"),
         (5, "not-a-url"),
+        (6, "http://a.com/p?fbclid&utm_source&z=1"),  # valueless tracking
+        (7, "http://deep.sub.example.gov.in/x"),
+        (8, "http://news.example.bd/"),        # *.bd wildcard
+        (9, "http://maps.city.kawasaki.jp/"),  # !city.kawasaki.jp exception
+        (10, "http://park.kawasaki.jp/"),      # *.kawasaki.jp wildcard
+        (11, "http://refer.net/p?ref&a=1"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {
@@ -712,11 +759,24 @@ def test_canonicalize_urls(spark):
     # non-default port survives; tracking-only query drops the '?'
     assert out[3]["canon_url"] == "http://example.com:8080/p"
     assert out[3]["n_params"] == 0 and out[3]["n_tracking"] == 1
-    # last-two-labels heuristic is documented (co.uk needs a PSL)
-    assert out[4]["domain"] == "co.uk" and out[4]["host"] == "sub.shop.co.uk"
+    # PSL registrable domain: co.uk is a public suffix
+    assert out[4]["domain"] == "shop.co.uk"
+    assert out[4]["host"] == "sub.shop.co.uk"
     # degenerate input: deterministic pass-through (empty scheme/host,
     # path coerced to '/'), never a crash
     assert out[5]["host"] == "" and out[5]["canon_url"] == ":///"
+    # valueless tracking params strip like valued ones
+    assert out[6]["canon_url"] == "http://a.com/p?z=1"
+    assert out[6]["n_params"] == 1 and out[6]["n_tracking"] == 2
+    # PSL depths: exact 2-label rule, 1-label wildcard, 2-label wildcard
+    # with its exception
+    assert out[7]["domain"] == "example.gov.in"
+    assert out[8]["domain"] == "news.example.bd"
+    assert out[9]["domain"] == "city.kawasaki.jp"
+    assert out[10]["domain"] == "park.kawasaki.jp"
+    # unknown TLD falls back to the implicit '*' default rule
+    assert out[11]["domain"] == "refer.net"
+    assert out[11]["canon_url"] == "http://refer.net/p?a=1"
 
 
 def test_stratified_sample(spark):
@@ -776,3 +836,33 @@ def test_duplicate_spans(spark):
         (3, 0, 5, 6),
         (3, 6, 11, 6),
     ]
+
+
+def test_duplicate_spans_rolling_matches_md5(spark):
+    """The Rabin-Karp rolling-hash default must produce span output
+    BIT-IDENTICAL to the md5 full-gram reference path (the
+    cooccurrence_counts_fast pinning discipline) — mixed casing, extra
+    whitespace, within-doc and cross-doc repeats, and a sub-window doc."""
+    rows = [
+        (1, "The quick Brown fox jumps over the lazy dog again and again"),
+        (2, "the  quick brown fox jumps over a sleeping cat today"),
+        (3, "x y z " * 30),
+        (4, "one two three four five one two three four five tail"),
+        (5, "short doc"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def spans(hash_kind):
+        return sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_tokens"])
+            for r in dedup.duplicate_spans(
+                df, "doc_id", "text", n=5, min_total=2, gram_hash=hash_kind
+            ).collect()
+        )
+
+    rolling, md5 = spans("rolling"), spans("md5")
+    assert rolling == md5
+    assert rolling  # non-degenerate: repeats exist
+    with pytest.raises(ValueError, match="gram_hash"):
+        dedup.duplicate_spans(df, "doc_id", "text", gram_hash="bogus")
