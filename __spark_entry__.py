@@ -1226,11 +1226,23 @@ def q_stream_dedup(spark, sf_dir):
             F.col("doc_id") + F.lit(1_000_000),
         )
     )
+    import atexit
+
     base = tempfile.mkdtemp(prefix="stream_dedup_", dir=_fast_tmp())
+    # the sink outlives this function (the caller collects the returned
+    # DataFrame) — clean up at process exit instead of re-materializing
+    # the result through a collect + createDataFrame double pass
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = f"{base}/src"
+    out = f"{base}/out"
+    pages.coalesce(1).write.parquet(src)
+    # one availableNow batch over ~10^3-10^4 keys: 16 state partitions
+    # only add per-partition store/commit overhead — scope the stream to
+    # 4 (state partition count is fixed per checkpoint, and each query
+    # here gets a fresh checkpoint, so this never fights a restart)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        src = f"{base}/src"
-        out = f"{base}/out"
-        pages.coalesce(1).write.parquet(src)
         stream = ingest.read_page_stream(
             spark, src, max_files_per_trigger=1_000_000
         )
@@ -1244,12 +1256,66 @@ def q_stream_dedup(spark, sf_dir):
             .start()
         )
         q.awaitTermination(600)
-        got = spark.read.parquet(out)
-        # materialize before the tmp dir disappears
-        rows = got.collect()
-        return spark.createDataFrame(rows, got.schema)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.read.parquet(out)
+
+
+def q_stream_dedup_jvm(spark, sf_dir):
+    """The JVM-stateful streaming dedup fast path (stateful.
+    streaming_dedup_exact_jvm — built-in dropDuplicates state, no Python
+    anywhere; ~20x the pandas-state op per distinct key).  WHICH
+    duplicate row survives is engine order, so the checked projection is
+    the deterministic part of the contract: one row per distinct content
+    with its hash and length."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ontologybasedkgcreation_spark.streaming import ingest, stateful
+
+    d = _doc(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(secs=F.col("doc_id"))
+        ).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    base = tempfile.mkdtemp(prefix="stream_dedup_jvm_", dir=_fast_tmp())
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = f"{base}/src"
+    out = f"{base}/out"
+    pages.coalesce(1).write.parquet(src)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = ingest.read_page_stream(
+            spark, src, max_files_per_trigger=1_000_000
+        )
+        q = (
+            stateful.streaming_dedup_exact_jvm(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return spark.read.parquet(out).select(
+        "content_key",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1307,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_video_raw": q_media_decode_video_raw,
         "media_bytes": q_media_bytes,
         "stream_dedup": q_stream_dedup,
+        "stream_dedup_jvm": q_stream_dedup_jvm,
         "stream_window": q_stream_window,
     }
 
@@ -2413,5 +2480,13 @@ SELECT content_key,
        arg_min(lang, id) AS lang,
        CAST(count(*) AS BIGINT) AS n_in_batch
 FROM p GROUP BY content_key
+""",
+        # stream_dedup_jvm: the built-in dropDuplicates emits an engine-
+        # chosen representative per content, so only the content-pure
+        # projection is checked: one row per distinct text
+        "stream_dedup_jvm": """
+SELECT DISTINCT sha256(COALESCE(text, '')) AS content_key,
+       CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars
+FROM documents
 """,
     }

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "ivf_assign",
     "dedup_resolve",
     "stream_dedup",
+    "stream_dedup_jvm",
     "lang_id",
     "token_stats",
 ]

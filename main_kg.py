@@ -28,6 +28,11 @@ def main(argv=None) -> int:
     ap.add_argument("--n-pages", type=int, default=100)
     ap.add_argument("--out", default="/tmp/ontokg_graph")
     ap.add_argument("--no-paragraphs", action="store_true")
+    # serving layout (graph_query label/relationship filters become
+    # partition PRUNES over these): pass 'none' for the flat bucket-only
+    # layout when the table is write-heavy and never label-served
+    ap.add_argument("--node-partition-col", default="head_label")
+    ap.add_argument("--edge-partition-col", default="relationship")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("ontokg-build").getOrCreate()
@@ -39,7 +44,12 @@ def main(argv=None) -> int:
         pages, _ = fixtures.pages_df(spark, args.n_pages)
 
     t0 = time.time()
-    writer = GraphWriter(args.out)
+    none = lambda v: None if v in ("none", "") else v  # noqa: E731
+    writer = GraphWriter(
+        args.out,
+        node_partition_col=none(args.node_partition_col),
+        edge_partition_col=none(args.edge_partition_col),
+    )
     out = pipeline.run_pipeline(
         spark, pages, with_paragraphs=not args.no_paragraphs, writer=writer
     )

@@ -366,6 +366,7 @@ class GraphWriter:
         fmt: str = "parquet",
         buckets: int = 32,
         node_partition_col: Optional[str] = None,
+        edge_partition_col: Optional[str] = None,
     ):
         """``node_partition_col``: optional FIRST-level partition column
         (e.g. ``'head_label'``) applied to any table that carries it, above
@@ -379,11 +380,22 @@ class GraphWriter:
         always lands in the same (label, bucket) partition and dynamic
         overwrite never strands a stale replaced row in another label's
         directory.  The sidecar records the column and merge() asserts it,
-        like the bucket count."""
+        like the bucket count.
+
+        ``edge_partition_col``: the edge-table analog (``'relationship'``)
+        — match_chain/label_connections relationship filters then prune
+        partitions instead of relying on parquet row-group pushdown.
+        UNLIKE head_label, ``relationship`` is NOT a function of the
+        url merge key (one url carries many relationships), so merge()
+        additionally vacuums first-level partitions of affected buckets
+        whose every row was replaced — without it a dynamic overwrite
+        would leave a stale ``relationship=r/bucket=b`` directory behind
+        when a re-merged url stops emitting relationship r."""
         self.base_path = base_path
         self.fmt = fmt
         self.buckets = buckets
         self.node_partition_col = node_partition_col
+        self.edge_partition_col = edge_partition_col
 
     # -- bucket-count sidecar (local/posix paths; a DFS deployment would
     #    carry the same fact in table properties) --------------------------
@@ -391,17 +403,22 @@ class GraphWriter:
     def _meta_file(self, path: str) -> str:
         return os.path.join(path, "_buckets.json")
 
-    def _write_meta(self, path: str, partition_col="__current__") -> None:
+    def _write_meta(self, path: str, legacy: bool = False) -> None:
         import json
 
-        if partition_col == "__current__":
-            partition_col = self.node_partition_col
         os.makedirs(path, exist_ok=True)
         with open(self._meta_file(path), "w", encoding="utf-8") as fh:
             json.dump(
                 {
                     "buckets": self.buckets,
-                    "node_partition_col": partition_col,
+                    # legacy back-fill: pre-sidecar writers only ever
+                    # produced the flat bucket-only layout
+                    "node_partition_col": (
+                        None if legacy else self.node_partition_col
+                    ),
+                    "edge_partition_col": (
+                        None if legacy else self.edge_partition_col
+                    ),
                 },
                 fh,
             )
@@ -417,12 +434,12 @@ class GraphWriter:
             # pre-sidecar (legacy) or truncated/corrupt sidecar: nothing
             # trustworthy to check against — back-fill the CURRENT bucket
             # count (so a later merge with a different count is caught) but
-            # record node_partition_col=None, the ONLY layout pre-sidecar
-            # writers ever produced.  Stamping the new writer's column here
-            # would bless a mixed head_label=/bucket= layout and strand the
-            # legacy rows; instead let the equality check below raise.
-            self._write_meta(path, partition_col=None)
-            meta = {"buckets": self.buckets, "node_partition_col": None}
+            # record the partition cols as None, the ONLY layout pre-sidecar
+            # writers ever produced.  Stamping the new writer's columns here
+            # would bless a mixed partitioned/flat layout and strand the
+            # legacy rows; instead let the equality checks below raise.
+            self._write_meta(path, legacy=True)
+            meta = {"buckets": self.buckets}
             stored = self.buckets
         if stored != self.buckets:
             raise ValueError(
@@ -430,16 +447,18 @@ class GraphWriter:
                 f"{path} written with buckets={stored} — keys would land in "
                 f"different buckets and leave stale duplicates"
             )
-        # pre-round-5 sidecars carry no partition-col field: treat missing
+        # pre-round-5 sidecars carry no partition-col fields: treat missing
         # as None (the only layout those writers produced)
-        stored_col = meta.get("node_partition_col")
-        if stored_col != self.node_partition_col:
-            raise ValueError(
-                f"GraphWriter(node_partition_col={self.node_partition_col!r}) "
-                f"cannot merge into {path} written with "
-                f"node_partition_col={stored_col!r} — the directory layouts "
-                f"differ and dynamic overwrite would strand stale rows"
-            )
+        for attr in ("node_partition_col", "edge_partition_col"):
+            stored_col = meta.get(attr)
+            mine = getattr(self, attr)
+            if stored_col != mine:
+                raise ValueError(
+                    f"GraphWriter({attr}={mine!r}) cannot merge into {path} "
+                    f"written with {attr}={stored_col!r} — the directory "
+                    f"layouts differ and dynamic overwrite would strand "
+                    f"stale rows"
+                )
 
     @staticmethod
     def iceberg_merge_delete_sql(table: str, key: str, batch_view: str) -> str:
@@ -464,6 +483,11 @@ class GraphWriter:
             and self.node_partition_col in df.columns
         ):
             return [self.node_partition_col, "bucket"]
+        if (
+            self.edge_partition_col
+            and self.edge_partition_col in df.columns
+        ):
+            return [self.edge_partition_col, "bucket"]
         return ["bucket"]
 
     def write(self, name: str, df: DataFrame, key: str = "url") -> str:
@@ -512,21 +536,52 @@ class GraphWriter:
         # static partition pruning: a literal isin on the partition column —
         # the scan's PartitionFilters name ONLY affected buckets (pinned by
         # test_plans), independent of whether DPP would fire on this shape
-        old_keep = pruned_stored_rows(spark, path, buckets).join(
-            new.select(key).distinct(), key, "left_anti"
-        )
+        stored = pruned_stored_rows(spark, path, buckets)
+        old_keep = stored.join(new.select(key).distinct(), key, "left_anti")
         # snapshot the survivors BEFORE overwriting the same path: the write
         # must never depend on reading files it is about to replace
         old_keep = old_keep.localCheckpoint()
+        merged = old_keep.unionByName(new)
+        part_cols = self._partition_cols(new)
+        stale_dirs = []
+        if (
+            part_cols[0] == self.edge_partition_col
+            and self.edge_partition_col is not None
+        ):
+            # relationship is NOT a function of the merge key: a (rel,
+            # bucket) partition whose every stored row was replaced is
+            # absent from the union output, so dynamic overwrite would
+            # leave its old files in place — find and vacuum those dirs.
+            # Both aggregates are partition-col-only projections over
+            # already-pruned/checkpointed frames (<= n_rels x |buckets|
+            # rows collected).
+            pcol = self.edge_partition_col
+            before = {
+                (r[pcol], r["bucket"])
+                for r in stored.select(pcol, "bucket").distinct().collect()
+            }
+            after = {
+                (r[pcol], r["bucket"])
+                for r in merged.select(pcol, "bucket").distinct().collect()
+            }
+            stale_dirs = [
+                os.path.join(path, f"{pcol}={v}", f"bucket={b}")
+                for v, b in sorted(before - after)
+            ]
         (
-            old_keep.unionByName(new)
+            merged
             .repartition("bucket")
             .write.mode("overwrite")
             # dynamic: untouched buckets' files stay in place
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*self._partition_cols(new))
+            .partitionBy(*part_cols)
             .parquet(path)
         )
+        if stale_dirs:
+            import shutil
+
+            for d in stale_dirs:
+                shutil.rmtree(d, ignore_errors=True)
         return path
 
     def append_lineage(self, spark, stage: str, metrics: Dict[str, int]) -> None:

@@ -71,7 +71,11 @@ def test_assert_meta_backfills_none_partition_col(spark, tmp_path):
     # writer's column
     with open(sidecar, encoding="utf-8") as fh:
         meta = json.load(fh)
-    assert meta == {"buckets": 4, "node_partition_col": None}
+    assert meta == {
+        "buckets": 4,
+        "node_partition_col": None,
+        "edge_partition_col": None,
+    }
 
     # a bucket-only writer back-fills and merges fine
     os.remove(sidecar)

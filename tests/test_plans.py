@@ -200,6 +200,101 @@ def test_partitioned_nodes_merge_roundtrip(spark, tmp_path):
         flat.merge("nodes", batch, key="node_key")
 
 
+def test_partitioned_edges_relationship_filter_is_partition_prune(
+    spark, tmp_path
+):
+    """Round-5 verdict item 8: GraphWriter(edge_partition_col=
+    'relationship') lays the edge table out by relationship above the key
+    buckets, so match_chain's per-hop relationship filter becomes a
+    partition PRUNE (the scan's PartitionFilters name the relationship)
+    instead of relying on row-group pushdown alone — including inside a
+    variable-length hop."""
+    from ontologybasedkgcreation_spark.operators.graph_query import match_chain
+    from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
+
+    nodes = spark.createDataFrame(
+        [("k1", "CourtCase", ["CourtCase"], {"hasCaseID": "c1"}),
+         ("k2", "Judge", ["Judge"], {"name": "J"}),
+         ("k3", "CourtCase", ["CourtCase"], {"hasCaseID": "c3"})],
+        "node_key string, head_label string, labels array<string>, "
+        "props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("k1", "hasJudge", "k2"), ("k1", "cited", "k3"),
+         ("k3", "hasJudge", "k2")],
+        "src_key string, relationship string, dst_key string",
+    )
+    w = GraphWriter(str(tmp_path), buckets=4,
+                    edge_partition_col="relationship")
+    ep = w.write("edges", edges, key="src_key")
+
+    got = match_chain(
+        nodes, spark.read.parquet(ep), [(None, "hasJudge", None)]
+    )
+    plan = _plan(got)
+    pfs = [seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]]
+    assert any("hasJudge" in p and "relationship" in p for p in pfs), pfs
+    assert got.count() == 2
+    # var-length hop: its per-level frontier jobs checkpoint eagerly (the
+    # k_hop discipline), so the RETURNED plan reads checkpoint blocks and
+    # cannot show the inner scans — pin the prune on the exact scan-side
+    # filter shape _var_length_pairs applies, then the behavior on top
+    e_filtered = spark.read.parquet(ep).filter(
+        F.col("relationship") == "cited"
+    )
+    eplan = _plan(e_filtered)
+    epfs = [
+        seg.splitlines()[0] for seg in eplan.split("PartitionFilters:")[1:]
+    ]
+    assert any("cited" in p and "relationship" in p for p in epfs), epfs
+    var = match_chain(
+        nodes, spark.read.parquet(ep), [(None, "cited*1..2", None)]
+    )
+    assert {(r["n0_key"], r["n1_key"]) for r in var.collect()} == {
+        ("k1", "k3")
+    }
+
+
+def test_partitioned_edges_merge_vacuum(spark, tmp_path):
+    """merge() on the relationship-partitioned layout: relationship is NOT
+    a function of the url merge key, so when a re-merged url stops
+    emitting a relationship, the now-empty (relationship, bucket)
+    partition must be VACUUMED — dynamic overwrite alone would leave the
+    stale directory behind.  Unaffected relationships and layout
+    mismatches keep the node-table discipline."""
+    import pytest
+
+    from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
+
+    ddl = "src_key string, relationship string, dst_key string, url string"
+    w = GraphWriter(str(tmp_path), buckets=2,
+                    edge_partition_col="relationship")
+    first = spark.createDataFrame(
+        [("k1", "hasJudge", "k2", "u1"), ("k1", "cited", "k3", "u1"),
+         ("k4", "hasParty", "k5", "u2")], ddl)
+    p = w.write("edges", first, key="url")
+    # u1's re-crawl no longer cites anything: the cited partition's only
+    # row must disappear from reads after the merge
+    batch = spark.createDataFrame(
+        [("k1", "hasJudge", "k9", "u1")], ddl)
+    w.merge("edges", batch, key="url")
+    got = {
+        (r["src_key"], r["relationship"], r["dst_key"])
+        for r in spark.read.parquet(p).collect()
+    }
+    assert got == {("k1", "hasJudge", "k9"), ("k4", "hasParty", "k5")}
+    # re-merging the same batch is a no-op
+    w.merge("edges", batch, key="url")
+    assert {
+        (r["src_key"], r["relationship"], r["dst_key"])
+        for r in spark.read.parquet(p).collect()
+    } == got
+    # layout mismatch refused (sidecar assert, both directions)
+    flat = GraphWriter(str(tmp_path), buckets=2)
+    with pytest.raises(ValueError, match="edge_partition_col"):
+        flat.merge("edges", batch, key="url")
+
+
 def test_linking_pair_plan_has_no_sort_windows(spark):
     """The containment probe, bm25 probe/top-1, and refine gram probe are
     all rank-1/top-k selections rewritten as map-side-combinable

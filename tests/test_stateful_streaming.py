@@ -161,3 +161,66 @@ def test_dedup_null_text_is_a_key(spark, tmp_path):
     _run(spark, src, out, ckpt)
     got = _emitted(spark, out)
     assert ("u1", None, 2) in got and ("u3", "x", 1) in got and len(got) == 2
+
+
+def test_dedup_jvm_fast_path(spark, tmp_path):
+    """streaming_dedup_exact_jvm (built-in dropDuplicates state, no
+    Python): one row per distinct content within and across batches with
+    checkpointed exactly-once, matching the pandas-state op on every
+    content-pure column; within_watermark mode runs.  WHICH duplicate row
+    survives is engine order — only content-pure projections are
+    asserted."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _pages(
+        spark,
+        [
+            ("u2", 5, "alpha text", "en"),
+            ("u1", 1, "alpha text", "en"),
+            ("u3", 2, "beta text", "en"),
+        ],
+    ).write.parquet(src)
+
+    def run():
+        stream = ingest.read_page_stream(spark, src, max_files_per_trigger=4)
+        q = (
+            stateful.streaming_dedup_exact_jvm(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert texts == ["alpha text", "beta text"]
+    # across batches via the same checkpoint: re-crawl absorbed, new text
+    # passes
+    _pages(
+        spark,
+        [("u4", 10, "alpha text", "en"), ("u5", 11, "gamma text", "hi")],
+    ).write.mode("append").parquet(src)
+    run()
+    texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    # exactly-once on replay
+    run()
+    assert spark.read.parquet(out).count() == 3
+    # the bounded-state variant also runs end-to-end
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    stream = ingest.read_page_stream(spark, src, max_files_per_trigger=10)
+    q = (
+        stateful.streaming_dedup_exact_jvm(stream, within_watermark=True)
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(out2).count() >= 3
