@@ -92,6 +92,8 @@ def host_calibration(spark) -> tuple[float, list[float]]:
 def main() -> int:
     import statistics
 
+    from pyspark.sql import functions as F
+
     import __spark_entry__ as entry
     from ontologybasedkgcreation_spark import fixtures, pipeline
     from ontologybasedkgcreation_spark.session import get_spark
@@ -115,6 +117,13 @@ def main() -> int:
                                       target_chars=PAGE_CHARS)
     pages = pages.cache()
     n_pages = pages.count()  # materialize input outside the timed region
+    # SHORT UNTIMED WARM-UP of the exact pipeline shape (r5 verdict item 2:
+    # the driver's three raws were still descending — JVM codegen, Python
+    # workers, broadcast machinery and the semantic-trainer code paths all
+    # warm on the first pass).  A 10%-subset run warms every stage at ~10%
+    # of a timed run's cost; the 3 timed runs keep median-of-3 semantics.
+    warm = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0)
+    pipeline.run_pipeline(spark, warm, with_paragraphs=True)["edges"].count()
     kg_runs = []
     for _ in range(3):
         t0 = time.time()

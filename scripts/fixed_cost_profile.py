@@ -45,6 +45,15 @@ def main() -> int:
                 if "PROFILE_AQE_BCAST" in os.environ
                 else {}
             ),
+            **(
+                {
+                    "spark.sql.autoBroadcastJoinThreshold": os.environ[
+                        "PROFILE_BCAST"
+                    ]
+                }
+                if "PROFILE_BCAST" in os.environ
+                else {}
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
