@@ -820,6 +820,43 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_url_filter(spark, sf_dir):
+    """URL blocklist filtering (text_analysis.filter_urls — the UT1-style
+    pre-fetch curation step): the same messy-URL family as
+    url_canonicalize plus an ftp:// scheme variant; blocked by PSL
+    registrable domain (example.co.uk — subdomains blocked, lookalikes
+    not), by a path regex, or by scheme, with the block reason kept for
+    the audit trail."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        filter_urls,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tld = (
+        F.when(did % 7 == 1, F.lit(".Example.CO.UK"))
+        .when(did % 7 == 2, F.lit(".Example.GOV.IN"))
+        .when(did % 7 == 3, F.lit(".Example.BD"))
+        .otherwise(F.lit(".Example.COM"))
+    )
+    url = F.concat(
+        F.when(did % 11 == 3, F.lit("ftp")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (did % 20).cast("string"), tld,
+        F.when(did % 4 == 0, F.lit("/ads/banner")).otherwise(
+            F.concat(F.lit("/Path/"), did.cast("string"))
+        ),
+    )
+    return filter_urls(
+        d.select("doc_id", url.alias("url")),
+        "doc_id",
+        "url",
+        block_domains=["example.co.uk"],
+        block_path_res=[r"^/ads/"],
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (text_analysis.stratified_sample
     — the data-mixing step): per-source keep rates cycle 0 / 0.25 / 0.5
@@ -1355,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "unigram_logprob": q_unigram_logprob,
         "url_canonicalize": q_url_canonicalize,
+        "url_filter": q_url_filter,
         "stratified_sample": q_stratified_sample,
         "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
@@ -2088,6 +2126,61 @@ SELECT doc_id,
        CAST(len(kept) AS BIGINT) AS n_params,
        CAST(len(params) - len(kept) AS BIGINT) AS n_tracking
 FROM sfx
+""".replace("__PSL_LK__", _psl_domain_sql()["lk"])
+        .replace("__PSL_SUFFIX__", _psl_domain_sql()["suffix"])
+        .replace("__PSL_DOMAIN__", _psl_domain_sql()["domain"]),
+        # url_filter: identical URL family + ftp variant; block by PSL
+        # registrable domain / path regex / scheme, reason precedence
+        # scheme > domain > path (the operator's when-chain order)
+        "url_filter": r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 3 THEN 'ftp' ELSE 'http' END || '://'
+         || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+         || 'Site' || CAST(doc_id % 20 AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 1 THEN '.Example.CO.UK'
+                 WHEN doc_id % 7 = 2 THEN '.Example.GOV.IN'
+                 WHEN doc_id % 7 = 3 THEN '.Example.BD'
+                 ELSE '.Example.COM' END
+         || CASE WHEN doc_id % 4 = 0 THEN '/ads/banner'
+                 ELSE '/Path/' || CAST(doc_id AS VARCHAR) END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+             AS scheme,
+         regexp_replace(
+             lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)),
+             '^www\.', '') AS host,
+         regexp_extract(url, '^[^:]+://[^/?#]+([^#]*)', 1) AS path
+  FROM base
+), lists AS (
+  SELECT *, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS nl
+  FROM parts
+), lk AS (
+  SELECT *,
+         __PSL_LK__
+  FROM lists
+), sfx AS (
+  SELECT *,
+         __PSL_SUFFIX__ AS sl
+  FROM lk
+), dom AS (
+  SELECT doc_id, host, path, scheme,
+         __PSL_DOMAIN__ AS domain
+  FROM sfx
+)
+SELECT doc_id, host, domain, path,
+       CAST(CASE WHEN scheme NOT IN ('http', 'https')
+                   OR domain IN ('example.co.uk')
+                   OR regexp_matches(path, '^/ads/')
+            THEN 1 ELSE 0 END AS BIGINT) AS blocked,
+       CASE WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+            WHEN domain IN ('example.co.uk') THEN 'domain'
+            WHEN regexp_matches(path, '^/ads/') THEN 'path'
+            ELSE '' END AS block_reason
+FROM dom
 """.replace("__PSL_LK__", _psl_domain_sql()["lk"])
         .replace("__PSL_SUFFIX__", _psl_domain_sql()["suffix"])
         .replace("__PSL_DOMAIN__", _psl_domain_sql()["domain"]),

@@ -779,6 +779,42 @@ def test_canonicalize_urls(spark):
     assert out[11]["canon_url"] == "http://refer.net/p?a=1"
 
 
+def test_filter_urls(spark):
+    """URL blocklist semantics: domain blocking keys on the PSL
+    registrable domain (subdomains blocked, suffix lookalikes NOT),
+    path regexes and scheme allowlist work, reason precedence is
+    scheme > domain > path, and clean rows pass."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        filter_urls,
+    )
+
+    rows = [
+        (1, "http://deep.sub.evil.co.uk/x"),       # registrable evil.co.uk
+        (2, "https://notevil.co.uk/x"),            # lookalike: passes
+        (3, "http://ok.com/ads/banner?x=1"),       # path block
+        (4, "ftp://evil.co.uk/ads/z"),             # scheme wins precedence
+        (5, "https://WWW.Fine.ORG/page"),          # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["doc_id"]: r
+        for r in filter_urls(
+            df,
+            "doc_id",
+            "url",
+            block_domains=["evil.co.uk"],
+            block_path_res=[r"^/ads/"],
+        ).collect()
+    }
+    assert out[1]["blocked"] == 1 and out[1]["block_reason"] == "domain"
+    assert out[1]["domain"] == "evil.co.uk"
+    assert out[2]["blocked"] == 0 and out[2]["domain"] == "notevil.co.uk"
+    assert out[3]["blocked"] == 1 and out[3]["block_reason"] == "path"
+    assert out[4]["blocked"] == 1 and out[4]["block_reason"] == "scheme"
+    assert out[5]["blocked"] == 0 and out[5]["host"] == "fine.org"
+    assert out[5]["block_reason"] == ""
+
+
 def test_stratified_sample(spark):
     """Hash sampling properties: nested samples (raising a rate only
     grows the kept set), exact 0/1 rates, salt decorrelation, and the
