@@ -1295,6 +1295,11 @@ def q_stream_dedup(spark, sf_dir):
         q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # only the out/ sink must outlive this function (the caller collects
+    # the returned DataFrame); the source copy + checkpoint are RAM-backed
+    # tmpfs and go now, not at process exit
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
     return spark.read.parquet(out)
 
 
@@ -1347,6 +1352,8 @@ def q_stream_dedup_jvm(spark, sf_dir):
         q.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(f"{base}/ckpt", ignore_errors=True)
     return spark.read.parquet(out).select(
         "content_key",
         F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
@@ -2149,9 +2156,10 @@ WITH base AS (
   SELECT doc_id,
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
              AS scheme,
-         regexp_replace(
-             lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)),
-             '^www\.', '') AS host,
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(
+                 url, '^[^:]+://(?:[^/?#@]*@)?([^/?#]+)', 1)),
+             ':[0-9]*$', ''), '^www\.', '') AS host,
          regexp_extract(url, '^[^:]+://[^/?#]+([^#]*)', 1) AS path
   FROM base
 ), lists AS (

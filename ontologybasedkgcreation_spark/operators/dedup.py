@@ -468,7 +468,19 @@ def _rolling_gram_rows(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            toks_lists = pdf[text_col].fillna("").str.lower().str.split()
+            # tokenizer parity with the md5 path's Spark split(lower(t),
+            # '\\s+'): Java \s is the ASCII class [ \t\n\x0B\f\r] (no
+            # UNICODE_CHARACTER_CLASS), while Python str.split() also
+            # splits on U+00A0 etc. — use the explicit class and drop the
+            # empty tokens the regex split produces at boundaries (the
+            # cooccurrence_counts_fast discipline)
+            toks_lists = (
+                pdf[text_col]
+                .fillna("")
+                .str.lower()
+                .str.split(r"[ \t\n\x0b\f\r]+")
+                .map(lambda ts: [t for t in ts if t])
+            )
             lens = toks_lists.str.len().to_numpy(dtype=np.int64)
             n_out = np.clip(lens - n + 1, 0, None)
             total_out = int(n_out.sum())

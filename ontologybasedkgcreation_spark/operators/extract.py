@@ -325,9 +325,15 @@ def extract_from_text(text: str) -> List[Triple]:
             # word boundary required after the role token: "appellants" /
             # "appellant's" must NOT match and leave a junk "s" party name —
             # those fall through to the respondent branch like any other
-            # unrecognized phrase
-            if low == role or low.startswith(role + " "):
-                name = party[len(role):].strip()
+            # unrecognized phrase.  Separator punctuation ("appellant,
+            # Arjun Verma" / "appellant: X") still classifies, with the
+            # residual name shedding the separator; the possessive
+            # apostrophe is NOT a separator (the phrase references the
+            # party's belongings, not the party).
+            if low == role or (
+                low.startswith(role) and low[len(role)] in " ,:;-"
+            ):
+                name = party[len(role):].lstrip(" ,:;-").strip()
                 triples.append(
                     (m.start(), "Argument", arg, rel, role.title(), _s(name))
                 )

@@ -313,6 +313,25 @@ def node_feature_vectors(nodes: DataFrame, dim: int = 256) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Hive/Spark partition-directory escaping (ExternalCatalogUtils semantics,
+# clean-room): these characters are %XX-escaped in partition dir names, and
+# NULL becomes the default-partition sentinel.  The merge vacuum must build
+# dir names the way Spark WROTE them or rmtree silently misses stale dirs.
+_PART_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def escape_partition_value(v) -> str:
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    out = []
+    for ch in str(v):
+        if ch in _PART_ESCAPE_CHARS or ch < " ":
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def pruned_stored_rows(spark, path: str, buckets: list) -> DataFrame:
     """Stored rows of the affected buckets only — the literal ``isin`` on
     the partition column prunes the scan statically (PartitionFilters)."""
@@ -426,19 +445,21 @@ class GraphWriter:
     def _assert_meta(self, path: str) -> None:
         import json
 
+        backfill = False
         try:
             with open(self._meta_file(path), encoding="utf-8") as fh:
                 meta = json.load(fh)
                 stored = meta["buckets"]
         except (OSError, ValueError, KeyError, TypeError):
             # pre-sidecar (legacy) or truncated/corrupt sidecar: nothing
-            # trustworthy to check against — back-fill the CURRENT bucket
-            # count (so a later merge with a different count is caught) but
-            # record the partition cols as None, the ONLY layout pre-sidecar
-            # writers ever produced.  Stamping the new writer's columns here
-            # would bless a mixed partitioned/flat layout and strand the
-            # legacy rows; instead let the equality checks below raise.
-            self._write_meta(path, legacy=True)
+            # trustworthy to check against — plan to back-fill the CURRENT
+            # bucket count (so a later merge with a different count is
+            # caught) with the partition cols as None, the ONLY layout
+            # pre-sidecar writers ever produced.  The back-fill is written
+            # only AFTER the layout checks pass: a REFUSED merge must not
+            # poison the sidecar with a bucket count from a merge that
+            # never happened (the rightful legacy writer back-fills later).
+            backfill = True
             meta = {"buckets": self.buckets}
             stored = self.buckets
         if stored != self.buckets:
@@ -459,6 +480,8 @@ class GraphWriter:
                     f"layouts differ and dynamic overwrite would strand "
                     f"stale rows"
                 )
+        if backfill:
+            self._write_meta(path, legacy=True)
 
     @staticmethod
     def iceberg_merge_delete_sql(table: str, key: str, batch_view: str) -> str:
@@ -565,8 +588,14 @@ class GraphWriter:
                 for r in merged.select(pcol, "bucket").distinct().collect()
             }
             stale_dirs = [
-                os.path.join(path, f"{pcol}={v}", f"bucket={b}")
-                for v, b in sorted(before - after)
+                os.path.join(
+                    path,
+                    f"{pcol}={escape_partition_value(v)}",
+                    f"bucket={b}",
+                )
+                for v, b in sorted(
+                    before - after, key=lambda t: (t[0] is None, t)
+                )
             ]
         (
             merged

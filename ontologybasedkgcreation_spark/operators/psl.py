@@ -455,6 +455,41 @@ def load_psl(path: Optional[str] = None) -> PslRules:
     return _CACHE[key]
 
 
+def suffix_len_py(host: str, rules: Optional[PslRules] = None) -> int:
+    """Driver-side mirror of :func:`suffix_len_expr` — the identical PSL
+    algorithm over one host string (exceptions prevail, longest match,
+    implicit ``*`` default).  Used to normalize configuration inputs
+    (e.g. blocklist entries) with the same semantics the Column compiles
+    to."""
+    rules = rules or load_psl()
+    labels = host.lower().split(".")
+    n = len(labels)
+
+    def last(k: int) -> Optional[str]:
+        return ".".join(labels[-k:]) if n >= k else None
+
+    for d in sorted(rules.exc, reverse=True):
+        if last(d) in rules.exc[d]:
+            return d - 1
+    for d in range(rules.max_suffix, 1, -1):
+        if d in rules.exact and last(d) in rules.exact[d]:
+            return d
+        if (d - 1) in rules.wild and n >= d and last(d - 1) in rules.wild[d - 1]:
+            return d
+    return 1
+
+
+def registrable_domain_py(host: str, rules: Optional[PslRules] = None) -> str:
+    """Driver-side mirror of :func:`registrable_domain_expr`: public suffix
+    + one label; a host that IS a public suffix passes through unchanged."""
+    rules = rules or load_psl()
+    labels = host.lower().split(".")
+    sl = suffix_len_py(host, rules)
+    if len(labels) > sl:
+        return ".".join(labels[-(sl + 1):])
+    return host.lower()
+
+
 def _last_k(labels: Column, n: Column, k: int) -> Column:
     """Dotted string of the last k labels, NULL when the host has fewer
     (guarded: element_at never sees an out-of-range index under ANSI)."""

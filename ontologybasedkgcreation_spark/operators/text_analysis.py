@@ -475,24 +475,55 @@ def filter_urls(
     — callers filter ``blocked = 0``; keeping the column (instead of
     dropping rows) preserves the audit trail the curation report needs.
 
+    ``block_domains`` entries are normalized at call time with the SAME
+    PSL algorithm the column compiles to: a registrable-level entry
+    (``evil.example``) matches on the ``domain`` column (all subdomains,
+    no lookalikes); an entry DEEPER than its registrable domain
+    (``bad.blogspot.com`` — host-level, common in real UT1 lists) or one
+    that is itself a public suffix (``co.uk``) blocks the host SUBTREE
+    (exact host or any ``*.entry``) — without the normalization such
+    entries would silently never match.
+
     Scale shape: pure string built-ins + the PSL InSet chain (whole-stage
     codegen, partition-parallel, zero shuffles); blocklists of real size
     (UT1 is ~4M domains) swap the literal isin for a broadcast semi-join
-    on the same ``domain`` column — the column contract is the point."""
-    from .psl import registrable_domain_expr
+    on the same ``domain``/``host`` columns — the column contract is the
+    point."""
+    from .psl import (
+        registrable_domain_expr,
+        registrable_domain_py,
+        suffix_len_py,
+    )
 
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    host = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#:]+)", 1))
+    # host = authority minus userinfo/port (split before the PSL match;
+    # the :port strip is numeric-suffix only, so a malformed authority
+    # never loses label text)
+    host = F.lower(F.regexp_extract(u, r"^[^:]+://(?:[^/?#@]*@)?([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":[0-9]*$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     pathq = F.regexp_extract(u, r"^[^:]+://[^/?#]+([^#]*)", 1)
     domain = registrable_domain_expr(host)
     bad_scheme = ~scheme.isin(*[s.lower() for s in allow_schemes])
+    reg_entries, subtree_entries = [], []
+    for e in block_domains:
+        el = e.lower().strip(".")
+        if not el:
+            continue
+        # registrable-level iff the PSL maps the entry to itself AND the
+        # entry is not a bare public suffix (which maps to itself only
+        # by passthrough)
+        labels = el.split(".")
+        if registrable_domain_py(el) == el and suffix_len_py(el) < len(labels):
+            reg_entries.append(el)
+        else:
+            subtree_entries.append(el)
     bad_domain = (
-        domain.isin(*[d.lower() for d in block_domains])
-        if block_domains
-        else F.lit(False)
+        domain.isin(*reg_entries) if reg_entries else F.lit(False)
     )
+    for el in subtree_entries:
+        bad_domain = bad_domain | (host == el) | host.endswith("." + el)
     bad_path = F.lit(False)
     for rx in block_path_res:
         bad_path = bad_path | pathq.rlike(rx)

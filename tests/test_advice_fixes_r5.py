@@ -67,8 +67,15 @@ def test_assert_meta_backfills_none_partition_col(spark, tmp_path):
     part_writer = GraphWriter(base, buckets=4, node_partition_col="head_label")
     with pytest.raises(ValueError, match="node_partition_col"):
         part_writer.merge("nodes", df, key="node_key")
-    # the back-filled sidecar records the LEGACY layout, not the new
-    # writer's column
+    # the REFUSED merge must not have back-filled anything (a poisoned
+    # sidecar would carry the refusing writer's config; the rightful
+    # legacy writer back-fills on its own successful merge below)
+    assert not os.path.exists(sidecar)
+
+    # a bucket-only writer back-fills the legacy layout and merges fine
+    legacy2 = GraphWriter(base, buckets=4)
+    legacy2.merge("nodes", df, key="node_key")
+    assert spark.read.parquet(path).count() == 2
     with open(sidecar, encoding="utf-8") as fh:
         meta = json.load(fh)
     assert meta == {
@@ -76,12 +83,6 @@ def test_assert_meta_backfills_none_partition_col(spark, tmp_path):
         "node_partition_col": None,
         "edge_partition_col": None,
     }
-
-    # a bucket-only writer back-fills and merges fine
-    os.remove(sidecar)
-    legacy2 = GraphWriter(base, buckets=4)
-    legacy2.merge("nodes", df, key="node_key")
-    assert spark.read.parquet(path).count() == 2
 
 
 def test_argument_party_word_boundary():
@@ -91,6 +92,7 @@ def test_argument_party_word_boundary():
         "Counsel for the appellants submitted that the order is void. "
         "Counsel for the appellant's firm submitted that costs apply. "
         "Counsel for the appellant Arjun Verma submitted that bail is due. "
+        "Counsel for the appellant, Ravi Iyer submitted that leave follows. "
         "Counsel for the petitioner submitted that the writ lies."
     )
     V = "__value"
@@ -101,6 +103,10 @@ def test_argument_party_word_boundary():
     assert by_arg["costs apply"][0] == "respondentArgument"
     assert by_arg["bail is due"] == (
         "appellantArgument", "Appellant", "Arjun Verma"
+    )
+    # separator punctuation still classifies, name sheds the separator
+    assert by_arg["leave follows"] == (
+        "appellantArgument", "Appellant", "Ravi Iyer"
     )
     assert by_arg["the writ lies"][0] == "petitionerArgument"
     # no residual junk names like 's' anywhere

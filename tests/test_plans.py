@@ -295,6 +295,73 @@ def test_partitioned_edges_merge_vacuum(spark, tmp_path):
         flat.merge("edges", batch, key="url")
 
 
+def test_partitioned_edges_vacuum_escaped_and_null_values(spark, tmp_path):
+    """The vacuum must target directories the way Spark WROTE them:
+    partition values with special characters are %XX-escaped and NULL
+    becomes __HIVE_DEFAULT_PARTITION__ — raw-value paths would rmtree
+    nothing and stale rows would survive."""
+    from ontologybasedkgcreation_spark.operators.materialize import (
+        GraphWriter,
+        escape_partition_value,
+    )
+
+    assert escape_partition_value("has:x/y") == "has%3Ax%2Fy"
+    assert escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+
+    ddl = "src_key string, relationship string, dst_key string, url string"
+    w = GraphWriter(str(tmp_path), buckets=2,
+                    edge_partition_col="relationship")
+    first = spark.createDataFrame(
+        [("k1", "has:judge", "k2", "u1"), ("k6", None, "k7", "u1"),
+         ("k4", "hasParty", "k5", "u2")], ddl)
+    p = w.write("edges", first, key="url")
+    # u1 re-merges with neither the escaped-char nor the NULL relationship:
+    # both of their partitions' only rows must disappear
+    batch = spark.createDataFrame([("k1", "cited", "k9", "u1")], ddl)
+    w.merge("edges", batch, key="url")
+    got = {
+        (r["src_key"], r["relationship"], r["dst_key"])
+        for r in spark.read.parquet(p).collect()
+    }
+    assert got == {("k1", "cited", "k9"), ("k4", "hasParty", "k5")}
+
+
+def test_refused_merge_does_not_poison_sidecar(spark, tmp_path):
+    """A REFUSED merge on a pre-sidecar directory must not back-fill the
+    sidecar with the refusing writer's bucket count: the rightful legacy
+    writer must still be accepted afterwards (a poisoned count would let
+    a wrong-bucket writer in and strand duplicate keys)."""
+    import os
+
+    import pytest
+
+    from ontologybasedkgcreation_spark.operators.materialize import GraphWriter
+
+    ddl = "node_key string, head_label string, labels array<string>, " \
+          "props map<string,string>"
+    df = spark.createDataFrame(
+        [("k1", "A", ["A"], {"p": "1"}), ("k2", "B", ["B"], {"p": "2"})], ddl)
+    legacy = GraphWriter(str(tmp_path), buckets=8)
+    p = legacy.write("nodes", df, key="node_key")
+    sidecar = os.path.join(str(tmp_path), "nodes", "_buckets.json")
+    os.remove(sidecar)
+    # a partition-col writer (wrong bucket count too) is refused...
+    with pytest.raises(ValueError, match="node_partition_col"):
+        GraphWriter(str(tmp_path), buckets=4,
+                    node_partition_col="head_label").merge(
+            "nodes", df, key="node_key")
+    # ...and must NOT have written a sidecar claiming buckets=4
+    assert not os.path.exists(sidecar)
+    # the rightful buckets=8 legacy writer back-fills and merges fine
+    legacy2 = GraphWriter(str(tmp_path), buckets=8)
+    legacy2.merge("nodes", df, key="node_key")
+    assert spark.read.parquet(p).count() == 2
+    import json
+
+    with open(sidecar, encoding="utf-8") as fh:
+        assert json.load(fh)["buckets"] == 8
+
+
 def test_linking_pair_plan_has_no_sort_windows(spark):
     """The containment probe, bm25 probe/top-1, and refine gram probe are
     all rank-1/top-k selections rewritten as map-side-combinable

@@ -794,6 +794,10 @@ def test_filter_urls(spark):
         (3, "http://ok.com/ads/banner?x=1"),       # path block
         (4, "ftp://evil.co.uk/ads/z"),             # scheme wins precedence
         (5, "https://WWW.Fine.ORG/page"),          # clean
+        (6, "http://bad.blogspot.com:8080/p"),     # host-level entry + port
+        (7, "http://sub.bad.blogspot.com/p"),      # host subtree
+        (8, "http://alsobad.blogspot.com/p"),      # sibling host: passes
+        (9, "http://user:pw@evil.co.uk/p"),        # userinfo stripped
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     out = {
@@ -802,7 +806,9 @@ def test_filter_urls(spark):
             df,
             "doc_id",
             "url",
-            block_domains=["evil.co.uk"],
+            # bad.blogspot.com is DEEPER than its registrable domain
+            # (blogspot.com under the vendored PSL): host-subtree entry
+            block_domains=["evil.co.uk", "bad.blogspot.com"],
             block_path_res=[r"^/ads/"],
         ).collect()
     }
@@ -813,6 +819,11 @@ def test_filter_urls(spark):
     assert out[4]["blocked"] == 1 and out[4]["block_reason"] == "scheme"
     assert out[5]["blocked"] == 0 and out[5]["host"] == "fine.org"
     assert out[5]["block_reason"] == ""
+    # host-level entry blocks its subtree (incl. ports), not siblings
+    assert out[6]["blocked"] == 1 and out[6]["host"] == "bad.blogspot.com"
+    assert out[7]["blocked"] == 1
+    assert out[8]["blocked"] == 0
+    assert out[9]["blocked"] == 1 and out[9]["host"] == "evil.co.uk"
 
 
 def test_stratified_sample(spark):
@@ -886,6 +897,10 @@ def test_duplicate_spans_rolling_matches_md5(spark):
         (4, "one two three four five one two three four five tail"),
         (5, "short doc"),
         (6, None),
+        # U+00A0 is NOT whitespace to Java \s+ (one token "alpha\xa0beta")
+        # but IS to Python str.split() — the rolling path must tokenize
+        # with the explicit ASCII class or positions shift between modes
+        (7, "alpha beta gamma delta epsilon zeta " * 2),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
