@@ -874,6 +874,25 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_hash", "sample_keep")
 
 
+def q_importance_weights(spark, sf_dir):
+    """DSIR hashed n-gram importance weights (text_analysis.
+    importance_weights, Xie et al. 2023): the 'en' documents are the
+    target domain, the whole corpus is raw; every raw doc gets
+    log p_tgt - log p_raw of its hashed unigram+bigram features
+    (1024 buckets, Laplace +1).  The oracle replays the 60-bit md5
+    bucket hash and the Laplace arithmetic; log_weight rounds to 7
+    decimals (order-dependent float sums across engines)."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        importance_weights,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    return importance_weights(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text",
+        num_buckets=1024,
+    )
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Exact-substring duplicate spans (dedup.duplicate_spans — Lee et
     al. 2021 at 10-token granularity for fixture density): every 4th
@@ -1401,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "url_filter": q_url_filter,
         "stratified_sample": q_stratified_sample,
+        "importance_weights": q_importance_weights,
         "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
@@ -2210,6 +2230,57 @@ SELECT doc_id, source,
               END
             THEN 1 ELSE 0 END AS BIGINT) AS sample_keep
 FROM documents
+""",
+        # importance_weights: identical unigram+bigram build (bigram i in
+        # 1..len-1, 1-based like Spark element_at), identical 60-bit md5
+        # bucket hash ('0x'||15-hex ::UBIGINT % 1024, the
+        # stratified_sample idiom) and Laplace +1 arithmetic; the per-doc
+        # sum groups by (doc_id, bucket) exactly like the Spark plan and
+        # rounds to 7 decimals (order-dependent float sums)
+        "importance_weights": f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS} AS tk FROM documents
+), grams AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(
+           tk,
+           list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1])
+         )) AS g
+  FROM toks
+), bg AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT % 1024
+              AS BIGINT) AS bk
+  FROM grams
+), raw_cnt AS (
+  SELECT bk, count(*) AS rc FROM bg GROUP BY bk
+), tgt_cnt AS (
+  SELECT bk, count(*) AS tc FROM bg WHERE lang = 'en' GROUP BY bk
+), raw_tot AS (
+  SELECT count(*) AS rn FROM bg
+), tgt_tot AS (
+  SELECT count(*) AS tn FROM bg WHERE lang = 'en'
+), per AS (
+  SELECT doc_id, bk, count(*) AS cnt FROM bg GROUP BY doc_id, bk
+), scored AS (
+  SELECT per.doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         round(sum(cnt * (
+           ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE)
+              / (CAST(tn AS DOUBLE) + 1024.0))
+           - ln(CAST(rc + 1 AS DOUBLE)
+                / (CAST(rn AS DOUBLE) + 1024.0))
+         )), 7) AS log_weight
+  FROM per
+  JOIN raw_cnt USING (bk)
+  LEFT JOIN tgt_cnt USING (bk), raw_tot, tgt_tot
+  GROUP BY per.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.log_weight, 0.0) AS log_weight
+FROM documents d LEFT JOIN scored s USING (doc_id)
 """,
         # duplicate_spans: identical construction, md5 10-gram start
         # hashes, >=2 total-occurrence hot set, islands window per doc

@@ -644,3 +644,102 @@ def pack_shards(
             F.col("_nt").cast("long").alias("n_tokens"),
         )
     )
+
+
+def _hashed_grams(df: DataFrame, id_col: str, text_col: str,
+                  num_buckets: int) -> DataFrame:
+    """(id, bucket) rows — unigrams + bigrams of the whitespace tokens,
+    hashed into ``num_buckets`` via the engine's portable 60-bit md5
+    convention (the stratified_sample hash).  The bigram builder guards
+    ``size >= 2`` (Spark ``sequence(1, 0)`` DESCENDS)."""
+    t = _tokens(text_col)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col), F.explode(F.concat(t, bigrams)).alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+        % num_buckets
+    )
+    return g.select(id_col, bucket.alias("bk"))
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 8192,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every ``raw`` document by how much more likely its hashed unigram+
+    bigram features are under the ``target`` domain's distribution than
+    under the raw corpus's own —
+
+        log w(x) = sum_{g in grams(x)} [ log p_tgt(b(g)) - log p_raw(b(g)) ]
+
+    with Laplace +1 smoothing over ``num_buckets``.  Selecting the top
+    weights (or hash-sampling proportionally — ``stratified_sample``
+    composes downstream) reweights raw web text toward the target domain;
+    this is the standard importance-resampling curation step of a
+    pretraining pipeline.
+
+    Returns ``(id, n_grams, log_weight)`` for EVERY raw document —
+    gram-less (empty/NULL text) docs pass through with ``(0, 0.0)`` (the
+    unigram_logprob output-contract discipline).  ``log_weight`` rounds
+    to 7 decimals (order-dependent float sums across engines).
+
+    Scale shape: the two distribution tables are ``num_buckets`` rows
+    (map-side combinable groupBys, broadcast into the scoring join), the
+    corpus totals ride as LAZY 1-row broadcast cross-joins (no driver
+    action), and scoring is one (id, bucket) pre-aggregation + one
+    broadcast join + one map-side-combinable groupBy on the id — the raw
+    corpus is never shuffled except by its own id.  num_buckets bounds
+    model size independently of corpus vocabulary, which is the point of
+    the hashing trick at 100 TB."""
+    rg = _hashed_grams(raw, id_col, text_col, num_buckets)
+    tg = _hashed_grams(target, id_col, text_col, num_buckets)
+    raw_cnt = rg.groupBy("bk").agg(F.count("*").alias("rc"))
+    tgt_cnt = tg.groupBy("bk").agg(F.count("*").alias("tc"))
+    raw_tot = rg.agg(F.count("*").alias("rn"))
+    tgt_tot = tg.agg(F.count("*").alias("tn"))
+    b = F.lit(float(num_buckets))
+    term = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double")
+        / (F.col("tn").cast("double") + b)
+    ) - F.log(
+        (F.col("rc") + 1).cast("double") / (F.col("rn").cast("double") + b)
+    )
+    per = (
+        rg.groupBy(id_col, "bk")
+        .agg(F.count("*").alias("cnt"))
+        # every raw gram is counted in raw_cnt, so rc never misses; the
+        # target side may — coalesce(tc, 0) above
+        .join(F.broadcast(raw_cnt), "bk")
+        .join(F.broadcast(tgt_cnt), "bk", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("cnt") * term), 7).alias("log_weight"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )

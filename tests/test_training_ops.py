@@ -917,3 +917,56 @@ def test_duplicate_spans_rolling_matches_md5(spark):
     assert rolling  # non-degenerate: repeats exist
     with pytest.raises(ValueError, match="gram_hash"):
         dedup.duplicate_spans(df, "doc_id", "text", gram_hash="bogus")
+
+
+def test_importance_weights(spark):
+    """DSIR hashed-ngram importance weights: the expected buckets and
+    Laplace log-ratios are replayed in pure Python (same md5 60-bit
+    convention), and gram-less docs pass through as (0, 0.0)."""
+    import hashlib
+    import math
+
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        importance_weights,
+    )
+
+    B = 16
+    raw = spark.createDataFrame(
+        [(0, "a a"), (1, "b"), (2, "   ")], "doc_id long, text string"
+    )
+    target = raw.filter("doc_id = 0")
+    out = {
+        r["doc_id"]: r
+        for r in importance_weights(
+            raw, target, "doc_id", "text", num_buckets=B
+        ).collect()
+    }
+
+    def bk(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    grams = {0: ["a", "a", "a a"], 1: ["b"], 2: []}
+    rc, tc = {}, {}
+    for d, gs in grams.items():
+        for g in gs:
+            rc[bk(g)] = rc.get(bk(g), 0) + 1
+            if d == 0:
+                tc[bk(g)] = tc.get(bk(g), 0) + 1
+    rn, tn = sum(rc.values()), sum(tc.values())
+
+    def want(d):
+        return round(
+            sum(
+                math.log((tc.get(bk(g), 0) + 1) / (tn + B))
+                - math.log((rc[bk(g)] + 1) / (rn + B))
+                for g in grams[d]
+            ),
+            7,
+        )
+
+    assert out[0]["n_grams"] == 3 and out[1]["n_grams"] == 1
+    assert out[0]["log_weight"] == pytest.approx(want(0), abs=1e-9)
+    assert out[1]["log_weight"] == pytest.approx(want(1), abs=1e-9)
+    # target-heavy doc scores above the non-target doc
+    assert out[0]["log_weight"] > out[1]["log_weight"]
+    assert out[2]["n_grams"] == 0 and out[2]["log_weight"] == 0.0
