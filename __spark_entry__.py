@@ -1044,6 +1044,43 @@ def q_graph_pagerank(spark, sf_dir):
     ).select("node_key", F.round("rank", 9).alias("rank"))
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-vertex triangle counts (graph_query.triangle_count — the
+    deterministic analog of Neo4j GDS triangleCount, degree-ordered
+    orientation): a circulant doc-id graph (offsets +1/+2 everywhere,
+    +3 from even ids) deliberately polluted with parallel edges, a
+    reversed copy and self-loops — the simple-graph collapse must
+    neutralize all three; the oracle enumerates a<b<c triangles
+    directly on the canonical undirected edges."""
+    from ontologybasedkgcreation_spark.operators.graph_query import (
+        triangle_count,
+    )
+
+    d = _doc(spark, sf_dir, "documents").select("doc_id")
+
+    def e(off, even_only=False):
+        x = d.filter(F.col("doc_id") % 2 == 0) if even_only else d
+        return x.select(
+            F.concat(F.lit("d:"), F.col("doc_id").cast("string")).alias(
+                "src_key"
+            ),
+            F.concat(
+                F.lit("d:"), (F.col("doc_id") + off).cast("string")
+            ).alias("dst_key"),
+        )
+
+    edges = (
+        e(1)
+        .unionByName(e(2))
+        .unionByName(e(2).select(F.col("dst_key").alias("src_key"),
+                                 F.col("src_key").alias("dst_key")))
+        .unionByName(e(3, even_only=True))
+        .unionByName(e(0))  # self-loops
+        .unionByName(e(1))  # parallel duplicates
+    )
+    return triangle_count(edges)
+
+
 def q_media_decode(spark, sf_dir):
     """REAL image decode under the value-hash gate: per document, a 4x4
     grayscale PNG whose pixels are a pure function of doc_id
@@ -1432,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_khop": q_graph_khop,
         "graph_labels": q_graph_labels,
         "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_video": q_media_decode_video,
@@ -2508,6 +2546,46 @@ r3 AS (SELECT v.k,
                         + (SELECT dm FROM d3) / (SELECT n FROM p)) AS r
        FROM verts v LEFT JOIN c3 ON c3.k = v.k)
 SELECT k AS node_key, round(r, 9) AS rank FROM r3
+""",
+        # graph_triangles: same raw edge construction (parallel edges,
+        # the reversed +2 copy, self-loops), canonical least/greatest
+        # distinct collapse, then DIRECT a<b<c triangle enumeration —
+        # count semantics are orientation-invariant, so the oracle needs
+        # no degree ordering
+        "graph_triangles": """
+WITH raw AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS s,
+         'd:' || CAST(doc_id + 1 AS VARCHAR) AS t FROM documents
+  UNION ALL
+  SELECT 'd:' || CAST(doc_id AS VARCHAR),
+         'd:' || CAST(doc_id + 2 AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'd:' || CAST(doc_id + 2 AS VARCHAR),
+         'd:' || CAST(doc_id AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT 'd:' || CAST(doc_id AS VARCHAR),
+         'd:' || CAST(doc_id + 3 AS VARCHAR) FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'd:' || CAST(doc_id AS VARCHAR),
+         'd:' || CAST(doc_id AS VARCHAR) FROM documents
+), e AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+  FROM raw WHERE s <> t
+), verts AS (
+  SELECT u AS node_key FROM e UNION SELECT v FROM e
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), pv AS (
+  SELECT node_key, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS node_key FROM tri)
+  GROUP BY node_key
+)
+SELECT v.node_key, COALESCE(pv.n_triangles, 0) AS n_triangles
+FROM verts v LEFT JOIN pv USING (node_key)
 """,
         # cooccur: windowed co-occurrence over the capped vocabulary —
         # positions via LATERAL generate_series (1-based), the same

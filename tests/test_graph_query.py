@@ -11,6 +11,7 @@ from ontologybasedkgcreation_spark.operators.graph_query import (
     label_connections,
     match_chain,
     pagerank,
+    triangle_count,
 )
 
 
@@ -296,3 +297,40 @@ def test_pagerank_over_engine_graph(spark, graph):
     assert set(got) == set(r)
     for v in verts:
         assert got[v] == pytest.approx(r[v], abs=1e-12)
+
+
+def test_triangle_count_hand_verified(spark):
+    """triangle_count on a hand-enumerable graph: K4 on a-d (every vertex
+    in C(3,2)=3 triangles) plus a pendant edge (e in 0), with direction
+    flips, parallel duplicates and a self-loop that the simple-graph
+    collapse must neutralize."""
+    k4 = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"),
+    ]
+    noise = [
+        ("b", "a"),  # reversed duplicate
+        ("a", "b"),  # parallel duplicate
+        ("c", "c"),  # self-loop
+        ("d", "e"),  # pendant: e closes no triangle
+    ]
+    edges = spark.createDataFrame(
+        k4 + noise, "src_key string, dst_key string"
+    )
+    got = {
+        r["node_key"]: r["n_triangles"]
+        for r in triangle_count(edges).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}
+
+
+def test_triangle_count_triangle_free(spark):
+    """A path graph (triangle-free) yields all-zero counts but still one
+    row per endpoint."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        "src_key string, dst_key string",
+    )
+    rows = triangle_count(edges).collect()
+    assert {r["node_key"] for r in rows} == {"a", "b", "c", "d"}
+    assert all(r["n_triangles"] == 0 for r in rows)
