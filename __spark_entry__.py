@@ -1081,6 +1081,35 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_graph_clustering(spark, sf_dir):
+    """Local clustering coefficients (graph_query.clustering_coefficient
+    — Watts-Strogatz C(v) = 2T/(d(d-1)), the Neo4j GDS
+    localClusteringCoefficient analog) over the customer->nation->region
+    graph EXTENDED with nation-nation sibling edges inside each region
+    (computed from the nation table itself), so region-adjacent triangles
+    actually exist; tree-only vertices exercise the 0.0 floor."""
+    from ontologybasedkgcreation_spark.operators.graph_query import (
+        clustering_coefficient,
+    )
+
+    _, edges = _tpch_graph(spark, sf_dir)
+    n = _doc(spark, sf_dir, "nation")
+    sib = (
+        n.alias("a")
+        .join(n.alias("b"), F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        .filter(F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.concat(F.lit("n:"), F.col("a.n_nationkey").cast("string"))
+            .alias("src_key"),
+            F.concat(F.lit("n:"), F.col("b.n_nationkey").cast("string"))
+            .alias("dst_key"),
+        )
+    )
+    return clustering_coefficient(
+        edges.select("src_key", "dst_key").unionByName(sib)
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """REAL image decode under the value-hash gate: per document, a 4x4
     grayscale PNG whose pixels are a pure function of doc_id
@@ -1470,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_labels": q_graph_labels,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
+        "graph_clustering": q_graph_clustering,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_video": q_media_decode_video,
@@ -2586,6 +2616,47 @@ WITH raw AS (
 )
 SELECT v.node_key, COALESCE(pv.n_triangles, 0) AS n_triangles
 FROM verts v LEFT JOIN pv USING (node_key)
+""",
+        # graph_clustering: same customer/nation/region + nation-sibling
+        # edge construction, canonical collapse, direct a<b<c triangle
+        # enumeration, then C(v) = 2T/(d(d-1)) with the d<2 -> 0.0 floor;
+        # round(…,9) matches the Spark projection
+        "graph_clustering": """
+WITH raw AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS s,
+         'n:' || CAST(c_nationkey AS VARCHAR) AS t FROM customer
+  UNION ALL
+  SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+         'r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'n:' || CAST(a.n_nationkey AS VARCHAR),
+         'n:' || CAST(b.n_nationkey AS VARCHAR)
+  FROM nation a
+  JOIN nation b ON a.n_regionkey = b.n_regionkey
+              AND a.n_nationkey < b.n_nationkey
+), e AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+  FROM raw WHERE s <> t
+), deg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS k FROM e UNION ALL SELECT v FROM e) GROUP BY k
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), pv AS (
+  SELECT node_key, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest([a, b, c]) AS node_key FROM tri)
+  GROUP BY node_key
+)
+SELECT deg.k AS node_key, deg.d AS degree,
+       COALESCE(pv.n, 0) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * COALESCE(pv.n, 0)
+                       / (CAST(deg.d AS DOUBLE) * (deg.d - 1.0)), 9)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN pv ON pv.node_key = deg.k
 """,
         # cooccur: windowed co-occurrence over the capped vocabulary —
         # positions via LATERAL generate_series (1-based), the same

@@ -388,6 +388,25 @@ def triangle_count(
     (degree groupBy, wedge self-join on the apex, closing-edge hash
     join), all equi-joins Catalyst/AQE can re-plan; no Python, no
     driver-side state."""
+    deg, per = _vertex_triangles(edges, src_col, dst_col)
+    return (
+        deg.select(F.col("k").alias("node_key"))
+        .join(per, "node_key", "left")
+        .select(
+            "node_key",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )
+
+
+def _vertex_triangles(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> Tuple[DataFrame, DataFrame]:
+    """(degree frame ``(k, d)``, per-vertex triangle frame ``(node_key,
+    n_triangles)``) — the shared pipeline behind ``triangle_count`` and
+    ``clustering_coefficient``."""
     e0 = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -430,13 +449,47 @@ def triangle_count(
         .groupBy("node_key")
         .agg(F.count("*").alias("n_triangles"))
     )
+    return deg, per
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src_key",
+    dst_col: str = "dst_key",
+) -> DataFrame:
+    """Local clustering coefficient per vertex ->
+    ``(node_key, degree, n_triangles, clustering)`` — Watts-Strogatz
+    C(v) = 2·T(v) / (d(v)·(d(v)−1)) over the undirected simple graph,
+    0.0 for degree-<2 vertices; the community-density read beside
+    ``triangle_count`` (Neo4j GDS ``localClusteringCoefficient``).
+
+    Same scale shape as ``triangle_count`` (the degree-ordered pipeline
+    is shared — one extra projection, no new shuffle); ``clustering``
+    rounds to 9 decimals (the bm25_adopt hash-stability convention)."""
+    deg, per = _vertex_triangles(edges, src_col, dst_col)
+    d = F.col("d").cast("double")
     return (
-        deg.select(F.col("k").alias("node_key"))
-        .join(per, "node_key", "left")
+        deg.join(
+            per.select(F.col("node_key").alias("k"), "n_triangles"),
+            "k",
+            "left",
+        )
         .select(
-            "node_key",
+            F.col("k").alias("node_key"),
+            F.col("d").cast("long").alias("degree"),
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
                 "n_triangles"
             ),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0)).cast("double")
+                    / (d * (d - 1.0)),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
         )
     )

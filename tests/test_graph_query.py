@@ -334,3 +334,28 @@ def test_triangle_count_triangle_free(spark):
     rows = triangle_count(edges).collect()
     assert {r["node_key"] for r in rows} == {"a", "b", "c", "d"}
     assert all(r["n_triangles"] == 0 for r in rows)
+
+
+def test_clustering_coefficient(spark):
+    """C(v) = 2T/(d(d-1)) on K4 + pendant: K4 vertices a-c are fully
+    clustered (1.0), d has degree 4 (K4 edges + pendant) with 3 of its
+    C(4,2)=6 neighbor pairs connected (0.5), the pendant e floors at
+    0.0."""
+    from ontologybasedkgcreation_spark.operators.graph_query import (
+        clustering_coefficient,
+    )
+
+    k4 = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+    ]
+    edges = spark.createDataFrame(k4, "src_key string, dst_key string")
+    got = {
+        r["node_key"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got["a"] == (3, 3, 1.0)
+    assert got["b"] == (3, 3, 1.0)
+    assert got["c"] == (3, 3, 1.0)
+    assert got["d"] == (4, 3, 0.5)
+    assert got["e"] == (1, 0, 0.0)
