@@ -874,6 +874,33 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_hash", "sample_keep")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trained quality filter (classifier.train_quality_classifier +
+    score_with_classifier — the fastText-style GPT-3/LLaMA curation
+    step as fixed-iteration logistic regression): positives are the
+    'en' documents, negatives the rest; 3 full-batch GD rounds with L2
+    over 256 hashed unigram+bigram buckets, then every document scored
+    σ(xᵀw).  The oracle unrolls the 3 iterations as chained CTEs with
+    bit-matched double arithmetic; score rounds to 7 decimals."""
+    from ontologybasedkgcreation_spark.operators.classifier import (
+        score_with_classifier,
+        train_quality_classifier,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    w = train_quality_classifier(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        "doc_id",
+        "text",
+        num_buckets=256,
+        iterations=3,
+        lr=1.0,
+        l2=0.1,
+    )
+    return score_with_classifier(d, w, "doc_id", "text", num_buckets=256)
+
+
 def q_importance_weights(spark, sf_dir):
     """DSIR hashed n-gram importance weights (text_analysis.
     importance_weights, Xie et al. 2023): the 'en' documents are the
@@ -1487,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "stratified_sample": q_stratified_sample,
         "importance_weights": q_importance_weights,
+        "quality_classifier": q_quality_classifier,
         "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
@@ -2349,6 +2377,73 @@ SELECT d.doc_id,
        COALESCE(s.n_grams, 0) AS n_grams,
        COALESCE(s.log_weight, 0.0) AS log_weight
 FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+        # quality_classifier: identical hashed unigram+bigram features
+        # (60-bit md5 % 256), then the 3 full-batch GD iterations
+        # unrolled as chained CTEs with the same double arithmetic
+        # (sigmoid margins -> per-bucket gradient / n -> w - lr*(g +
+        # l2*w)); final sigmoid rounds to 7 decimals
+        "quality_classifier": f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         {_TOKS} AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, y,
+         unnest(list_concat(
+           tk,
+           list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1])
+         )) AS g
+  FROM toks
+), feats AS (
+  SELECT doc_id, y,
+         CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT % 256
+              AS BIGINT) AS bk,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM grams GROUP BY doc_id, y, bk
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), w0 AS (
+  SELECT DISTINCT bk, 0.0 AS w FROM feats
+), m1 AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-sum(cnt * w))) - y AS resid
+  FROM feats JOIN w0 USING (bk) GROUP BY doc_id, y
+), g1 AS (
+  SELECT bk, sum(resid * cnt) / (SELECT n FROM n) AS grad
+  FROM feats JOIN m1 USING (doc_id) GROUP BY bk
+), w1 AS (
+  SELECT bk, w - 1.0 * (COALESCE(grad, 0.0) + 0.1 * w) AS w
+  FROM w0 LEFT JOIN g1 USING (bk)
+), m2 AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-sum(cnt * w))) - y AS resid
+  FROM feats JOIN w1 USING (bk) GROUP BY doc_id, y
+), g2 AS (
+  SELECT bk, sum(resid * cnt) / (SELECT n FROM n) AS grad
+  FROM feats JOIN m2 USING (doc_id) GROUP BY bk
+), w2 AS (
+  SELECT bk, w - 1.0 * (COALESCE(grad, 0.0) + 0.1 * w) AS w
+  FROM w1 LEFT JOIN g2 USING (bk)
+), m3 AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-sum(cnt * w))) - y AS resid
+  FROM feats JOIN w2 USING (bk) GROUP BY doc_id, y
+), g3 AS (
+  SELECT bk, sum(resid * cnt) / (SELECT n FROM n) AS grad
+  FROM feats JOIN m3 USING (doc_id) GROUP BY bk
+), w3 AS (
+  SELECT bk, w - 1.0 * (COALESCE(grad, 0.0) + 0.1 * w) AS w
+  FROM w2 LEFT JOIN g3 USING (bk)
+), sc AS (
+  SELECT doc_id, sum(cnt * COALESCE(w, 0.0)) AS m
+  FROM feats LEFT JOIN w3 USING (bk) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-COALESCE(sc.m, 0.0))), 7) AS score
+FROM documents d LEFT JOIN sc USING (doc_id)
 """,
         # duplicate_spans: identical construction, md5 10-gram start
         # hashes, >=2 total-occurrence hot set, islands window per doc

@@ -970,3 +970,39 @@ def test_importance_weights(spark):
     # target-heavy doc scores above the non-target doc
     assert out[0]["log_weight"] > out[1]["log_weight"]
     assert out[2]["n_grams"] == 0 and out[2]["log_weight"] == 0.0
+
+
+def test_quality_classifier_learns_separation(spark):
+    """3 GD iterations separate planted positive/negative vocabularies;
+    scores are proper probabilities, gram-less docs pass through at
+    exactly sigma(0)=0.5."""
+    from ontologybasedkgcreation_spark.operators.classifier import (
+        score_with_classifier,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, "good great fine solid") for i in range(8)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, "bad awful poor broken") for i in range(8)],
+        "doc_id long, text string",
+    )
+    w = train_quality_classifier(
+        pos, neg, "doc_id", "text", num_buckets=64, iterations=3, lr=1.0
+    )
+    assert w.columns == ["bk", "w"]
+    held = spark.createDataFrame(
+        [(0, "good great"), (1, "bad awful"), (2, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in score_with_classifier(
+            held, w, "doc_id", "text", num_buckets=64
+        ).collect()
+    }
+    assert got[0] > 0.5 > got[1]
+    assert got[2] == 0.5
+    assert all(0.0 <= s <= 1.0 for s in got.values())
