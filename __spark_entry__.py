@@ -1108,6 +1108,38 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_count(edges)
 
 
+def q_graph_components(spark, sf_dir):
+    """Weakly connected components (linking.connected_components — the
+    pointer-doubling min-label engine behind near-dup resolution and
+    semantic merge, exposed as the Neo4j GDS wcc serving analog):
+    length-10 doc-id chains plus every-100th bridge edges form
+    components of mixed diameter (the bridges force label propagation
+    across ~50 hops — pointer doubling's O(log d) rounds matter);
+    component id = min node key.  Oracle is recursive-CTE min-label
+    closure (the dedup_resolve convention)."""
+    from ontologybasedkgcreation_spark.operators.linking import (
+        connected_components,
+    )
+
+    d = _doc(spark, sf_dir, "documents").select("doc_id")
+
+    def key(c):
+        return F.concat(F.lit("d:"), c.cast("string"))
+
+    chain = d.filter(F.col("doc_id") % 10 != 9).select(
+        key(F.col("doc_id")).alias("a"),
+        key(F.col("doc_id") + 1).alias("b"),
+    )
+    bridge = d.filter(F.col("doc_id") % 100 == 0).select(
+        key(F.col("doc_id")).alias("a"),
+        key(F.col("doc_id") + 100).alias("b"),
+    )
+    return connected_components(chain.unionByName(bridge)).select(
+        F.col("pre_key").alias("node_key"),
+        F.col("comp").alias("component"),
+    )
+
+
 def q_graph_clustering(spark, sf_dir):
     """Local clustering coefficients (graph_query.clustering_coefficient
     — Watts-Strogatz C(v) = 2T/(d(d-1)), the Neo4j GDS
@@ -1528,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
+        "graph_components": q_graph_components,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_video": q_media_decode_video,
@@ -2711,6 +2744,30 @@ WITH raw AS (
 )
 SELECT v.node_key, COALESCE(pv.n_triangles, 0) AS n_triangles
 FROM verts v LEFT JOIN pv USING (node_key)
+""",
+        # graph_components: same chain+bridge construction; min-label
+        # closure via a recursive CTE (UNION dedups, so it terminates),
+        # then min reachable key per vertex == the component id
+        "graph_components": """
+WITH RECURSIVE raw AS (
+  SELECT 'd:' || CAST(doc_id AS VARCHAR) AS a,
+         'd:' || CAST(doc_id + 1 AS VARCHAR) AS b
+  FROM documents WHERE doc_id % 10 <> 9
+  UNION ALL
+  SELECT 'd:' || CAST(doc_id AS VARCHAR),
+         'd:' || CAST(doc_id + 100 AS VARCHAR)
+  FROM documents WHERE doc_id % 100 = 0
+), sym AS (
+  SELECT a AS u, b AS v FROM raw
+  UNION
+  SELECT b AS u, a AS v FROM raw
+), lab AS (
+  SELECT u AS k, u AS comp FROM sym
+  UNION
+  SELECT sym.v AS k, lab.comp
+  FROM lab JOIN sym ON sym.u = lab.k
+)
+SELECT k AS node_key, min(comp) AS component FROM lab GROUP BY k
 """,
         # graph_clustering: same customer/nation/region + nation-sibling
         # edge construction, canonical collapse, direct a<b<c triangle
