@@ -874,6 +874,19 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_hash", "sample_keep")
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (text_analysis.tfidf_top_terms
+    — salient-term extraction with smoothed idf); scores round to 9
+    decimals BEFORE ranking and ties break by term ascending (the
+    bm25_adopt convention), so the top-k set is engine-stable."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=5)
+
+
 def q_quality_classifier(spark, sf_dir):
     """Trained quality filter (classifier.train_quality_classifier +
     score_with_classifier — the fastText-style GPT-3/LLaMA curation
@@ -1547,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "importance_weights": q_importance_weights,
         "quality_classifier": q_quality_classifier,
+        "tfidf_terms": q_tfidf_terms,
         "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
@@ -2410,6 +2424,36 @@ SELECT d.doc_id,
        COALESCE(s.n_grams, 0) AS n_grams,
        COALESCE(s.log_weight, 0.0) AS log_weight
 FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+        # tfidf_terms: identical tokenization, raw tf counts, smoothed
+        # idf ln((N+1)/(df+1))+1, round(…,9) BEFORE ranking, ties by
+        # term ascending
+        "tfidf_terms": f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+), docfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM terms GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, docfreq.doc_freq,
+         round(CAST(tf.tf AS DOUBLE)
+               * (ln((n.n + 1.0) / (CAST(docfreq.doc_freq AS DOUBLE) + 1.0))
+                  + 1.0), 9) AS score
+  FROM tf JOIN docfreq USING (term), n
+), ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, score, rank
+FROM ranked WHERE rank <= 5
 """,
         # quality_classifier: identical hashed unigram+bigram features
         # (60-bit md5 % 256), then the 3 full-batch GD iterations

@@ -743,3 +743,73 @@ def importance_weights(
             F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document ->
+    ``(id, term, tf, doc_freq, score, rank)`` — the classic keyword /
+    salient-term extraction step (corpus profiling, retrieval indexing,
+    topic labeling over web text).
+
+        score = tf · ( ln((N+1)/(df+1)) + 1 )      (smoothed idf)
+
+    with raw term counts as tf.  Scores round to 9 decimals BEFORE
+    ranking (the bm25_adopt convention — cross-engine float noise must
+    not reorder ties) and ties break by term ascending, so the top-k set
+    is engine-stable.
+
+    Scale shape: one explode + per-(doc, term) count (map-side
+    combinable), document frequency is one per-term groupBy whose result
+    joins back by term (vocabulary-sized, AQE broadcasts small vocabs),
+    the corpus total N rides as a LAZY 1-row broadcast cross-join, and
+    the top-k window partitions by the document id — no global sort, no
+    Python.  Documents with no tokens emit no rows (keyword extraction
+    has nothing to say about them — unlike the quality scorers, absence
+    IS the contract here)."""
+    t = _tokens(text_col)
+    terms = df.select(F.col(id_col), F.explode(t).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    docfreq = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("doc_freq"))
+    )
+    n_docs = F.broadcast(df.agg(F.count("*").cast("double").alias("n")))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(n_docs)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n") + 1.0)
+                        / (F.col("doc_freq").cast("double") + 1.0)
+                    )
+                    + 1.0
+                ),
+                9,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).filter(F.col("rank") <= k)
+    )

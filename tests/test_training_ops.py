@@ -1006,3 +1006,43 @@ def test_quality_classifier_learns_separation(spark):
     assert got[0] > 0.5 > got[1]
     assert got[2] == 0.5
     assert all(0.0 <= s <= 1.0 for s in got.values())
+
+
+def test_tfidf_top_terms(spark):
+    """Hand-computed smoothed TF-IDF with a pinned tie-break: equal
+    scores order by term ascending; token-less docs emit no rows."""
+    import math
+
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple banana"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry durian"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    got = {(r["doc_id"], r["rank"]): r for r in rows}
+    # N=4 (the empty doc still counts toward N); df: apple 1, banana 2,
+    # cherry 2, durian 1
+    idf1 = math.log(5 / 2) + 1  # df=1 terms
+    idf2 = math.log(5 / 3) + 1  # df=2 terms
+    assert got[(0, 1)]["term"] == "apple"
+    assert got[(0, 1)]["score"] == pytest.approx(
+        round(2 * idf1, 9), abs=1e-12
+    )
+    assert got[(0, 2)]["term"] == "banana"
+    # doc 1: banana and cherry tie (tf=1, df=2) -> term-ascending order
+    assert got[(1, 1)]["term"] == "banana"
+    assert got[(1, 2)]["term"] == "cherry"
+    assert got[(1, 1)]["score"] == got[(1, 2)]["score"] == pytest.approx(
+        round(idf2, 9), abs=1e-12
+    )
+    assert got[(2, 1)]["term"] == "cherry" and got[(2, 1)]["tf"] == 3
+    # no rows for the token-less doc
+    assert not [k for k in got if k[0] == 3]
