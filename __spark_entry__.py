@@ -874,6 +874,29 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_hash", "sample_keep")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling (text_analysis.
+    weighted_sample — the resampling half of DSIR): weights are a pure
+    function of doc_id ((doc_id % 10) - 0.5, so every 10th doc has
+    NEGATIVE weight and must be excluded); top-50 exponential keys.  The
+    oracle replays the 60-bit md5 hash, the u=(h+1)/2^60 uniform and
+    ln(u)/w with round(…,9) before ranking, ties by doc_id."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        weighted_sample,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    return weighted_sample(
+        d.select(
+            "doc_id",
+            ((F.col("doc_id") % 10).cast("double") - 0.5).alias("w"),
+        ),
+        "doc_id",
+        "w",
+        k=50,
+    )
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Top-5 TF-IDF keywords per document (text_analysis.tfidf_top_terms
     — salient-term extraction with smoothed idf); scores round to 9
@@ -1151,6 +1174,41 @@ def q_graph_components(spark, sf_dir):
         F.col("pre_key").alias("node_key"),
         F.col("comp").alias("component"),
     )
+
+
+def q_graph_communities(spark, sf_dir):
+    """Synchronous label propagation (graph_query.label_propagation —
+    the Neo4j GDS labelPropagation analog): 5-cliques of consecutive
+    doc_ids with every-25th bridge edges; 3 fixed rounds with
+    count-then-min-label ties.  The oracle unrolls the rounds as CTEs
+    with the identical argmax rule (row_number by c DESC, label ASC)."""
+    from ontologybasedkgcreation_spark.operators.graph_query import (
+        label_propagation,
+    )
+
+    d = _doc(spark, sf_dir, "documents").select("doc_id")
+
+    def key(c):
+        return F.concat(F.lit("d:"), c.cast("string"))
+
+    g = d.withColumn("grp", F.col("doc_id") - F.col("doc_id") % 5)
+    clique = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            key(F.col("a.doc_id")).alias("src_key"),
+            key(F.col("b.doc_id")).alias("dst_key"),
+        )
+    )
+    bridge = d.filter(F.col("doc_id") % 25 == 0).select(
+        key(F.col("doc_id")).alias("src_key"),
+        key(F.col("doc_id") + 5).alias("dst_key"),
+    )
+    return label_propagation(clique.unionByName(bridge), iterations=3)
 
 
 def q_graph_clustering(spark, sf_dir):
@@ -1561,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_weights": q_importance_weights,
         "quality_classifier": q_quality_classifier,
         "tfidf_terms": q_tfidf_terms,
+        "weighted_sample": q_weighted_sample,
         "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
@@ -1575,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
         "graph_components": q_graph_components,
+        "graph_communities": q_graph_communities,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_video": q_media_decode_video,
@@ -2425,6 +2485,28 @@ SELECT d.doc_id,
        COALESCE(s.log_weight, 0.0) AS log_weight
 FROM documents d LEFT JOIN scored s USING (doc_id)
 """,
+        # weighted_sample: identical 60-bit md5 hash, u=(h+1)/2^60,
+        # ln(u)/w exponential keys rounded to 9 BEFORE ranking, ties by
+        # doc_id; non-positive weights excluded
+        "weighted_sample": r"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(doc_id % 10 AS DOUBLE) - 0.5 AS weight,
+         round(
+           ln((CAST(CAST(('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR) || ':'), 1, 15))::UBIGINT
+                AS BIGINT) AS DOUBLE) + 1.0) / 1152921504606846976.0)
+           / (CAST(doc_id % 10 AS DOUBLE) - 0.5), 9) AS es_key
+  FROM documents
+  WHERE CAST(doc_id % 10 AS DOUBLE) - 0.5 > 0
+), ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC)
+              AS BIGINT) AS rank
+  FROM keyed
+)
+SELECT doc_id, weight, es_key, rank FROM ranked WHERE rank <= 50
+""",
         # tfidf_terms: identical tokenization, raw tf counts, smoothed
         # idf ln((N+1)/(df+1))+1, round(…,9) BEFORE ranking, ties by
         # term ascending
@@ -2812,6 +2894,61 @@ WITH RECURSIVE raw AS (
   FROM lab JOIN sym ON sym.u = lab.k
 )
 SELECT k AS node_key, min(comp) AS component FROM lab GROUP BY k
+""",
+        # graph_communities: same clique+bridge construction; 3 label-
+        # propagation rounds unrolled, each = neighbor messages + the
+        # self-message, count per (vertex, label), argmax by
+        # (c DESC, label ASC) — exactly the Spark min(struct(-c, label))
+        "graph_communities": """
+WITH raw AS (
+  SELECT 'd:' || CAST(a.doc_id AS VARCHAR) AS s,
+         'd:' || CAST(b.doc_id AS VARCHAR) AS t
+  FROM documents a
+  JOIN documents b
+    ON a.doc_id - a.doc_id % 5 = b.doc_id - b.doc_id % 5
+   AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT 'd:' || CAST(doc_id AS VARCHAR),
+         'd:' || CAST(doc_id + 5 AS VARCHAR)
+  FROM documents WHERE doc_id % 25 = 0
+), sym AS (
+  SELECT s AS u, t AS v FROM raw WHERE s <> t
+  UNION
+  SELECT t AS u, s AS v FROM raw WHERE s <> t
+), lab0 AS (
+  SELECT DISTINCT u AS k, u AS community FROM sym
+), m1 AS (
+  SELECT s.u AS k, l.community FROM sym s JOIN lab0 l ON l.k = s.v
+  UNION ALL SELECT k, community FROM lab0
+), lab1 AS (
+  SELECT k, community FROM (
+    SELECT k, community,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY count(*) DESC, community ASC) AS rn
+    FROM m1 GROUP BY k, community
+  ) WHERE rn = 1
+), m2 AS (
+  SELECT s.u AS k, l.community FROM sym s JOIN lab1 l ON l.k = s.v
+  UNION ALL SELECT k, community FROM lab1
+), lab2 AS (
+  SELECT k, community FROM (
+    SELECT k, community,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY count(*) DESC, community ASC) AS rn
+    FROM m2 GROUP BY k, community
+  ) WHERE rn = 1
+), m3 AS (
+  SELECT s.u AS k, l.community FROM sym s JOIN lab2 l ON l.k = s.v
+  UNION ALL SELECT k, community FROM lab2
+), lab3 AS (
+  SELECT k, community FROM (
+    SELECT k, community,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY count(*) DESC, community ASC) AS rn
+    FROM m3 GROUP BY k, community
+  ) WHERE rn = 1
+)
+SELECT k AS node_key, community FROM lab3
 """,
         # graph_clustering: same customer/nation/region + nation-sibling
         # edge construction, canonical collapse, direct a<b<c triangle

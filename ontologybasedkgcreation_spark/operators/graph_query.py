@@ -493,3 +493,74 @@ def clustering_coefficient(
             .alias("clustering"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src_key",
+    dst_col: str = "dst_key",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation ->
+    ``(node_key, community)`` — the deterministic analog of Neo4j GDS
+    ``labelPropagation`` (beside ``pagerank``/``triangle_count``/wcc in
+    the serving-analytics family).
+
+    Every vertex starts as its own label; each round, over the
+    undirected simple graph, a vertex adopts the most frequent label
+    among its neighbors PLUS its own current label (the self-message
+    keeps isolated and balanced vertices well-defined), ties broken by
+    the smallest label — so updates are a pure function of the previous
+    round and the result is engine- and schedule-independent, unlike the
+    asynchronous variant.  Iterations are FIXED, never
+    convergence-polled (the budgeted form at scale; communities
+    stabilize in a few rounds on clustered graphs).
+
+    Scale shape per round: one key-shuffle to count (vertex, label)
+    messages (map-side combinable) and one aggregation picking
+    ``min(struct(-count, label))`` — argmax-count with min-label ties as
+    a single pass, no window, no second join — then one eager
+    ``localCheckpoint`` (the CC/pagerank one-action-per-round
+    discipline).  No Python, no driver-side state."""
+    sym = (
+        edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+            ).filter(F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node_key"))
+        .distinct()
+        .withColumn("community", F.col("node_key"))
+    )
+    for _ in range(iterations):
+        neigh = sym.join(
+            labels.select(
+                F.col("node_key").alias("v"), F.col("community")
+            ),
+            "v",
+        ).select(F.col("u").alias("node_key"), "community")
+        msgs = neigh.unionByName(labels)  # the self-message
+        labels = (
+            msgs.groupBy("node_key", "community")
+            .agg(F.count("*").alias("c"))
+            .groupBy("node_key")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("community").alias("l"),
+                    )
+                ).alias("m")
+            )
+            .select("node_key", F.col("m.l").alias("community"))
+            .localCheckpoint()
+        )
+    return labels

@@ -813,3 +813,64 @@ def tfidf_top_terms(
             "rank", F.row_number().over(w).cast("long")
         ).filter(F.col("rank") <= k)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement ->
+    ``(id, weight, es_key, rank)``, the top-k rows by the
+    Efraimidis-Spirakis (2006) exponential-key rule — inclusion
+    probability proportional to weight, which is the RESAMPLING half of
+    importance resampling (``importance_weights`` scores, this draws)
+    and the "sample proportional to quality" step after
+    ``score_with_classifier``.
+
+        u_i  = (h_i + 1) / 2^60          (h_i = the engine's 60-bit md5
+                                          hash of (id, salt) — the
+                                          stratified_sample convention)
+        key_i = ln(u_i) / w_i            (monotone in u_i^(1/w_i))
+
+    take the k LARGEST keys.  Determinism: membership is a pure function
+    of (id, salt, weight) — reruns, resumes and engines agree row for
+    row; ``salt`` decorrelates independent draws.  Keys round to 9
+    decimals BEFORE ranking with ties broken by id ascending (the
+    engine-stability convention).  Rows with NULL or non-positive weight
+    are excluded (they have no sampling mass).
+
+    Scale shape: one projection computes every key, then a global top-k
+    (TakeOrdered — per-partition heaps merged on the driver, never a
+    full sort); zero joins, zero Python."""
+    from pyspark.sql import Window
+
+    hash60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(":"), F.lit(salt)
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hash60.cast("double") + 1.0) / F.lit(float(1 << 60))
+    es = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    keyed = (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            es.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+    return keyed.withColumn("rank", F.row_number().over(w).cast("long"))

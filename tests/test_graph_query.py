@@ -359,3 +359,29 @@ def test_clustering_coefficient(spark):
     assert got["c"] == (3, 3, 1.0)
     assert got["d"] == (4, 3, 0.5)
     assert got["e"] == (1, 0, 0.0)
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles joined by one bridge resolve to two communities
+    labeled by their min member; hand-traced through 3 synchronous
+    rounds (self-message + min-label ties)."""
+    from ontologybasedkgcreation_spark.operators.graph_query import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("a", "c"),
+            ("x", "y"), ("y", "z"), ("x", "z"),
+            ("c", "x"),
+        ],
+        "src_key string, dst_key string",
+    )
+    got = {
+        r["node_key"]: r["community"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x", "z": "x",
+    }

@@ -1046,3 +1046,40 @@ def test_tfidf_top_terms(spark):
     assert got[(2, 1)]["term"] == "cherry" and got[(2, 1)]["tf"] == 3
     # no rows for the token-less doc
     assert not [k for k in got if k[0] == 3]
+
+
+def test_weighted_sample(spark):
+    """Efraimidis-Spirakis keys replayed in pure Python (same md5 60-bit
+    hash), top-k order and rank pinned; zero/negative/NULL weights are
+    excluded."""
+    import hashlib
+    import math
+
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        weighted_sample,
+    )
+
+    rows = [(i, float(w)) for i, w in enumerate([5, 1, 3, 2, 4, 0, -1])]
+    rows.append((7, None))
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "doc_id", "w", k=3).collect()
+
+    def key(i, w):
+        h = int(
+            hashlib.md5(f"{i}:".encode()).hexdigest()[:15], 16
+        )
+        return round(math.log((h + 1) / float(1 << 60)) / w, 9)
+
+    expect = sorted(
+        ((key(i, w), i, w) for i, w in rows[:5]),
+        key=lambda t: (-t[0], t[1]),
+    )[:3]
+    assert [(r["doc_id"], r["weight"], r["es_key"], r["rank"])
+            for r in got] == [
+        (i, w, k_, rank + 1) for rank, (k_, i, w) in enumerate(expect)
+    ]
+    # excluded rows can never appear regardless of k
+    all_ids = {
+        r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=99).collect()
+    }
+    assert all_ids == {0, 1, 2, 3, 4}
