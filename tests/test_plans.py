@@ -467,3 +467,38 @@ def test_semantic_sample_filter_pushes_below_extraction(spark):
         ext.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "ArrowEvalPython" not in cnt_plan
+
+
+def test_triangle_pipeline_has_no_cartesian(spark):
+    """The degree-ordered triangle/clustering pipeline must stay
+    equi-join only — a naive formulation degenerates to nested-loop /
+    cartesian joins, which is the scale-killer the orientation exists to
+    prevent."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q_graph_triangles, entry.q_graph_clustering):
+        plan = _plan(q(spark, SF), "simple")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hashed_feature_models_join_broadcast_and_jvm_only(spark):
+    """DSIR importance weights and classifier scoring: the
+    num_buckets-row model/distribution tables must enter the corpus-side
+    plan as BroadcastHashJoins, with zero Python evaluation nodes."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q_importance_weights, entry.q_quality_classifier):
+        plan = _plan(q(spark, SF), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """Top-k by exponential key must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global Sort."""
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.q_weighted_sample(spark, SF), "simple")
+    assert "TakeOrderedAndProject" in plan
