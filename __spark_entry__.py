@@ -1240,6 +1240,65 @@ def q_graph_clustering(spark, sf_dir):
     )
 
 
+def q_warc_decode(spark, sf_dir):
+    """REAL WARC parsing under the value-hash gate (sources/warc.py —
+    the Common-Crawl container): per document a 2-record WARC file
+    (warcinfo + response carrying the text) is ENCODED then DECODED
+    through the clean-room ISO 28500 implementation, every odd doc_id
+    with per-record gzip members (the CC layout); the oracle recomputes
+    every field arithmetically, so any parser defect breaks the hash."""
+    import pandas as pd
+
+    from ontologybasedkgcreation_spark.sources.warc import (
+        decode_warc,
+        encode_warc,
+    )
+
+    d = _doc(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build(batches):
+        for pdf in batches:
+            blobs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                recs = [
+                    (
+                        {
+                            "WARC-Type": "warcinfo",
+                            "WARC-Date": "2026-01-01T00:00:00Z",
+                            "WARC-Record-ID": f"<urn:uuid:{did}-0>",
+                        },
+                        f"crawl={did}".encode(),
+                    ),
+                    (
+                        {
+                            "WARC-Type": "response",
+                            "WARC-Target-URI":
+                                f"https://example.org/doc/{did}",
+                            "WARC-Date": "2026-01-01T00:00:00Z",
+                            "WARC-Record-ID": f"<urn:uuid:{did}-1>",
+                        },
+                        (text or "").encode(),
+                    ),
+                ]
+                blobs.append(encode_warc(recs, gzip_each=did % 2 == 1))
+            yield pd.DataFrame(
+                {"id": pdf["doc_id"], "warc": blobs}
+            )
+
+    files = d.mapInPandas(_build, schema="id long, warc binary")
+    return decode_warc(files).select(
+        F.col("id").alias("doc_id"),
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "record_id",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """REAL image decode under the value-hash gate: per document, a 4x4
     grayscale PNG whose pixels are a pure function of doc_id
@@ -1635,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "graph_components": q_graph_components,
         "graph_communities": q_graph_communities,
+        "warc_decode": q_warc_decode,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_video": q_media_decode_video,
@@ -3026,6 +3086,31 @@ FROM documents
         # 4x4 gray image whose pixels are (doc_id*7+i)%256; the oracle
         # computes the same pixel sum arithmetically — a decoder defect
         # breaks the hash
+        # warc_decode: recompute every record field arithmetically from
+        # the construction (warcinfo body 'crawl=<id>', response body =
+        # the text, octet lengths, md5 of the payload bytes) — the
+        # parser must reproduce them bit for bit through header parsing,
+        # Content-Length slicing and gzip-member inflation
+        "warc_decode": """
+SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
+       'warcinfo' AS warc_type,
+       CAST(NULL AS VARCHAR) AS target_uri,
+       '2026-01-01T00:00:00Z' AS warc_date,
+       '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '-0>' AS record_id,
+       CAST(strlen('crawl=' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+         AS content_length,
+       md5('crawl=' || CAST(doc_id AS VARCHAR)) AS payload_md5
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT),
+       'response',
+       'https://example.org/doc/' || CAST(doc_id AS VARCHAR),
+       '2026-01-01T00:00:00Z',
+       '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '-1>',
+       CAST(strlen(COALESCE(text, '')) AS BIGINT),
+       md5(COALESCE(text, ''))
+FROM documents
+""",
         "media_decode": """
 SELECT doc_id,
        CAST((SELECT sum((doc_id * 7 + i) % 256)

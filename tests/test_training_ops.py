@@ -1083,3 +1083,56 @@ def test_weighted_sample(spark):
         r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=99).collect()
     }
     assert all_ids == {0, 1, 2, 3, 4}
+
+
+def test_warc_roundtrip_and_strictness(spark):
+    """encode_warc/parse_warc roundtrip (plain AND per-record gzip
+    members), header case-insensitivity, and the integrity raises:
+    truncated content, missing separator, bad version line; NULL/empty
+    blobs emit no Spark rows."""
+    from ontologybasedkgcreation_spark.sources.warc import (
+        decode_warc,
+        encode_warc,
+        parse_warc,
+    )
+
+    recs = [
+        (
+            {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:0>"},
+            b"software: test\r\n",
+        ),
+        (
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://e.org/x",
+                "WARC-Date": "2026-01-01T00:00:00Z",
+            },
+            b"<html>body bytes \x00\xff</html>",
+        ),
+    ]
+    for gz in (False, True):
+        data = encode_warc(recs, gzip_each=gz)
+        back = parse_warc(data)
+        assert [p for _, p in back] == [p for _, p in recs]
+        assert back[0][0]["WARC-Type"] == "warcinfo"
+        assert back[1][0]["WARC-Target-URI"] == "https://e.org/x"
+        assert back[1][0]["Content-Length"] == str(len(recs[1][1]))
+    # gzip members are independently framed: concatenating two gzipped
+    # files still parses as 4 records
+    data2 = encode_warc(recs, gzip_each=True)
+    assert len(parse_warc(data2 + data2)) == 4
+    plain = encode_warc(recs)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(plain[:-10])
+    with pytest.raises(ValueError, match="separator"):
+        parse_warc(plain[:-2])
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200\r\n\r\n")
+    df = spark.createDataFrame(
+        [(1, encode_warc(recs)), (2, None), (3, b"")],
+        "id long, warc binary",
+    )
+    rows = decode_warc(df).collect()
+    assert {r["id"] for r in rows} == {1}
+    assert [r["rec_idx"] for r in rows] == [0, 1]
+    assert bytes(rows[1]["payload"]) == recs[1][1]
