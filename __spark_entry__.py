@@ -1240,6 +1240,43 @@ def q_graph_clustering(spark, sf_dir):
     )
 
 
+def q_link_extract(spark, sf_dir):
+    """Outbound-link extraction (web.extract_links — the crawl-frontier
+    / web-graph step): per document a deterministic HTML page carries
+    two absolute links (one double-quoted with an uppercase HREF, one
+    single-quoted with a www host), a duplicate of the first (distinct
+    must collapse it), a relative href, and a mailto: — only the two
+    absolute targets survive.  The oracle replays the construction and
+    the RE2-safe extraction regex."""
+    from ontologybasedkgcreation_spark.operators.web import extract_links
+
+    d = _doc(spark, sf_dir, "documents").select("doc_id")
+    a1 = F.concat(
+        F.lit('<a HREF="https://example'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">x</a>'),
+    )
+    a2 = F.concat(
+        F.lit("<a href='http://www.site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".org/q?a=1'>y</a>"),
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        a1,
+        a2,
+        a1,  # duplicate — distinct collapses
+        F.lit('<a href="/relative/path">z</a>'),
+        F.lit('<a href="mailto:a@b.c">m</a>'),
+        F.lit("</body></html>"),
+    )
+    return extract_links(
+        d.select("doc_id", html.alias("html")), "doc_id", "html"
+    )
+
+
 def q_warc_decode(spark, sf_dir):
     """REAL WARC parsing under the value-hash gate (sources/warc.py —
     the Common-Crawl container): per document a 2-record WARC file
@@ -1694,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "graph_components": q_graph_components,
         "graph_communities": q_graph_communities,
+        "link_extract": q_link_extract,
         "warc_decode": q_warc_decode,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
@@ -3086,6 +3124,22 @@ FROM documents
         # 4x4 gray image whose pixels are (doc_id*7+i)%256; the oracle
         # computes the same pixel sum arithmetically — a decoder defect
         # breaks the hash
+        # link_extract: the expected link set follows directly from the
+        # construction (two absolute targets; the duplicate, relative,
+        # and mailto hrefs must NOT survive), so the oracle states it
+        # outright — any extraction defect (missed case-insensitive
+        # HREF, quote style, leaked non-http link, un-collapsed
+        # duplicate) breaks the hash
+        "link_extract": """
+SELECT doc_id,
+       'https://example' || CAST(doc_id % 7 AS VARCHAR)
+       || '.com/p/' || CAST(doc_id AS VARCHAR) AS link
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'http://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.org/q?a=1'
+FROM documents
+""",
         # warc_decode: recompute every record field arithmetically from
         # the construction (warcinfo body 'crawl=<id>', response body =
         # the text, octet lengths, md5 of the payload bytes) — the

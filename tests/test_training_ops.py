@@ -1136,3 +1136,32 @@ def test_warc_roundtrip_and_strictness(spark):
     assert {r["id"] for r in rows} == {1}
     assert [r["rec_idx"] for r in rows] == [0, 1]
     assert bytes(rows[1]["payload"]) == recs[1][1]
+
+
+def test_extract_links(spark):
+    """href extraction: case-insensitive attribute, both quote styles,
+    duplicates collapsed, relative/mailto/javascript/fragment targets
+    dropped, linkless pages emit nothing."""
+    from ontologybasedkgcreation_spark.operators.web import extract_links
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                '<a HREF="https://a.com/x">1</a>'
+                "<a href='http://b.org/y?q=1'>2</a>"
+                '<a href="https://a.com/x">dup</a>'
+                '<a href="/rel">r</a><a href="#top">f</a>'
+                '<a href="mailto:x@y.z">m</a>'
+                "<a href=\"javascript:void(0)\">j</a>",
+            ),
+            (2, "<p>no links here</p>"),
+            (3, None),
+        ],
+        "doc_id long, html string",
+    )
+    got = sorted(
+        (r["doc_id"], r["link"])
+        for r in extract_links(df, "doc_id", "html").collect()
+    )
+    assert got == [(1, "http://b.org/y?q=1"), (1, "https://a.com/x")]
