@@ -1240,6 +1240,63 @@ def q_graph_clustering(spark, sf_dir):
     )
 
 
+_ROBOTS_EVEN = (
+    "# politeness rules\n"
+    "User-agent: ontokg\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok*\n"
+    "Disallow: /tmp/*.bak$\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
+_ROBOTS_ODD = (
+    "User-agent: *\n"
+    "Disallow: /blocked/\n"
+    "Crawl-delay: 10\n"
+    "Allow: /blocked/except$\n"
+)
+
+
+def q_robots_check(spark, sf_dir):
+    """RFC 9309 robots evaluation (web.compile_robots + robots_check):
+    even-numbered hosts carry an agent-specific group (so the blanket
+    'Disallow: /' star group must be IGNORED) with a wildcard rule, a
+    $-anchored rule and an Allow that outranks a shorter Disallow;
+    odd-numbered hosts have only a star group with a crawl-delay line to
+    skip and an anchored Allow override.  Six path shapes per doc
+    exercise every branch; the oracle states the RFC outcome per
+    (host parity, path) outright."""
+    from ontologybasedkgcreation_spark.operators.web import (
+        compile_robots,
+        robots_check,
+    )
+
+    d = _doc(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 10
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example.com"))
+    p = F.col("doc_id") % 6
+    path = (
+        F.when(p == 0, "/private/x")
+        .when(p == 1, "/private/okay")
+        .when(p == 2, "/tmp/a.bak")
+        .when(p == 3, "/tmp/a.bak.txt")
+        .when(p == 4, "/blocked/page")
+        .otherwise("/blocked/except")
+    )
+    urls = d.select("doc_id", host.alias("host"), path.alias("path"))
+    hosts = d.select(k.alias("k")).distinct()
+    robots = hosts.select(
+        F.concat(
+            F.lit("h"), F.col("k").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.when(F.col("k") % 2 == 0, F.lit(_ROBOTS_EVEN))
+        .otherwise(F.lit(_ROBOTS_ODD))
+        .alias("robots"),
+    )
+    rules = compile_robots(robots, "host", "robots", agent="ontokg")
+    return robots_check(urls, F.broadcast(rules), "doc_id", "host", "path")
+
+
 def q_link_extract(spark, sf_dir):
     """Outbound-link extraction (web.extract_links — the crawl-frontier
     / web-graph step): per document a deterministic HTML page carries
@@ -1732,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "graph_communities": q_graph_communities,
         "link_extract": q_link_extract,
+        "robots_check": q_robots_check,
         "warc_decode": q_warc_decode,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
@@ -3124,6 +3182,35 @@ FROM documents
         # 4x4 gray image whose pixels are (doc_id*7+i)%256; the oracle
         # computes the same pixel sum arithmetically — a decoder defect
         # breaks the hash
+        # robots_check: expected outcome per (host parity, path shape)
+        # stated outright from RFC 9309 precedence — longest matching
+        # pattern wins, Allow wins length ties, specific-agent groups
+        # shadow the star group, no match defaults to allowed
+        "robots_check": """
+SELECT doc_id,
+       'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS host,
+       CASE doc_id % 6
+         WHEN 0 THEN '/private/x'
+         WHEN 1 THEN '/private/okay'
+         WHEN 2 THEN '/tmp/a.bak'
+         WHEN 3 THEN '/tmp/a.bak.txt'
+         WHEN 4 THEN '/blocked/page'
+         ELSE '/blocked/except' END AS path,
+       CASE WHEN (doc_id % 10) % 2 = 0 THEN
+         CASE doc_id % 6
+           WHEN 0 THEN false  -- Disallow /private/
+           WHEN 1 THEN true   -- Allow /private/ok* outranks by length
+           WHEN 2 THEN false  -- Disallow /tmp/*.bak$ wildcard+anchor
+           WHEN 3 THEN true   -- $ anchor must NOT match the .txt tail
+           WHEN 4 THEN true   -- specific group shadows star Disallow: /
+           ELSE true END      -- no matching rule -> default allow
+       ELSE
+         CASE doc_id % 6
+           WHEN 4 THEN false  -- star Disallow /blocked/
+           ELSE true END      -- incl. anchored Allow /blocked/except$
+       END AS allowed
+FROM documents
+""",
         # link_extract: the expected link set follows directly from the
         # construction (two absolute targets; the duplicate, relative,
         # and mailto hrefs must NOT survive), so the oracle states it

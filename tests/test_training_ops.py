@@ -1165,3 +1165,57 @@ def test_extract_links(spark):
         for r in extract_links(df, "doc_id", "html").collect()
     )
     assert got == [(1, "http://b.org/y?q=1"), (1, "https://a.com/x")]
+
+
+def test_robots_compile_and_check(spark):
+    """RFC 9309 semantics: specific-agent group shadows the star group,
+    wildcard + $ anchor, longest-match with Allow winning ties, empty
+    Disallow no-op, unknown-host default allow, and LIKE metacharacter
+    escaping (a literal '_' in a rule must not act as a wildcard)."""
+    from ontologybasedkgcreation_spark.operators.web import (
+        compile_robots,
+        robots_check,
+    )
+
+    content = (
+        "# comment\n"
+        "User-agent: ontokg\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok*\n"
+        "Disallow: /tmp/*.bak$\n"
+        "Disallow: /a_b\n"
+        "Disallow:\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    robots = spark.createDataFrame(
+        [("h.com", content)], "host string, robots string"
+    )
+    rules = compile_robots(robots, "host", "robots", agent="ontokg")
+    rl = {r["pattern"]: r for r in rules.collect()}
+    # the star group is shadowed; the empty Disallow is a no-op
+    assert set(rl) == {"/private/", "/private/ok*", "/tmp/*.bak$", "/a_b"}
+    assert rl["/private/ok*"]["allow"] is True
+    assert rl["/tmp/*.bak$"]["like_pattern"] == "/tmp/%.bak"
+    assert rl["/a_b"]["like_pattern"] == "/a\\_b%"
+    urls = spark.createDataFrame(
+        [
+            (0, "h.com", "/private/x"),       # disallowed
+            (1, "h.com", "/private/okay"),    # Allow outranks by length
+            (2, "h.com", "/tmp/a.bak"),       # $-anchored wildcard hits
+            (3, "h.com", "/tmp/a.bak.txt"),   # anchor must not hit
+            (4, "h.com", "/a_b/page"),        # literal underscore hits
+            (5, "h.com", "/aXb/page"),        # '_' must NOT wildcard
+            (6, "h.com", "/elsewhere"),       # no matching rule
+            (7, "nothing.net", "/private/x"), # no robots at all
+        ],
+        "id long, host string, path string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in robots_check(urls, rules, "id", "host", "path").collect()
+    }
+    assert got == {
+        0: False, 1: True, 2: False, 3: True,
+        4: False, 5: True, 6: True, 7: True,
+    }
