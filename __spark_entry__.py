@@ -1393,6 +1393,50 @@ def q_warc_decode(spark, sf_dir):
     )
 
 
+def q_http_parse(spark, sf_dir):
+    """HTTP response parsing (warc.decode_http_responses — the step
+    between a WARC response record and page text): per doc a full
+    HTTP/1.1 message is built JVM-side (status 404 every 9th doc,
+    charset header alternating utf-8 / ISO-8859-1), parsed through the
+    real parser, and the status/content-type/normalized-charset/body
+    are emitted; the oracle recomputes every field from the
+    construction."""
+    from ontologybasedkgcreation_spark.sources.warc import (
+        decode_http_responses,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    status = F.when(
+        F.col("doc_id") % 9 == 0, F.lit("404 Not Found")
+    ).otherwise(F.lit("200 OK"))
+    cs = F.when(F.col("doc_id") % 2 == 0, F.lit("utf-8")).otherwise(
+        F.lit("ISO-8859-1")
+    )
+    body = F.concat(
+        F.lit("<html>"), F.coalesce("text", F.lit("")), F.lit("</html>")
+    )
+    msg = F.concat(
+        F.lit("HTTP/1.1 "),
+        status,
+        F.lit("\r\nContent-Type: text/html; charset="),
+        cs,
+        F.lit("\r\nServer: test\r\n\r\n"),
+        body,
+    )
+    payloads = d.select(
+        F.col("doc_id").alias("id"),
+        F.encode(msg, "utf-8").alias("payload"),
+    )
+    return decode_http_responses(payloads).select(
+        F.col("id").alias("doc_id"),
+        "status",
+        "content_type",
+        "charset",
+        F.md5(F.encode("body_text", "utf-8")).alias("body_md5"),
+        "body_len",
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """REAL image decode under the value-hash gate: per document, a 4x4
     grayscale PNG whose pixels are a pure function of doc_id
@@ -1791,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_extract": q_link_extract,
         "robots_check": q_robots_check,
         "warc_decode": q_warc_decode,
+        "http_parse": q_http_parse,
         "media_decode": q_media_decode,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_video": q_media_decode_video,
@@ -3182,6 +3227,24 @@ FROM documents
         # 4x4 gray image whose pixels are (doc_id*7+i)%256; the oracle
         # computes the same pixel sum arithmetically — a decoder defect
         # breaks the hash
+        # http_parse: recompute status / content-type / normalized
+        # charset / body hash and length from the construction — the
+        # parser must reproduce them through status-line split, header
+        # parse and charset decode
+        "http_parse": """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS BIGINT)
+         AS status,
+       'text/html; charset='
+       || CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'ISO-8859-1' END
+         AS content_type,
+       CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END
+         AS charset,
+       md5('<html>' || COALESCE(text, '') || '</html>') AS body_md5,
+       CAST(strlen('<html>' || COALESCE(text, '') || '</html>')
+            AS BIGINT) AS body_len
+FROM documents
+""",
         # robots_check: expected outcome per (host parity, path shape)
         # stated outright from RFC 9309 precedence — longest matching
         # pattern wins, Allow wins length ties, specific-agent groups

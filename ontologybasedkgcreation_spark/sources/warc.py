@@ -199,3 +199,95 @@ def decode_warc(
     return df.select(id_col, bytes_col).mapInPandas(
         _parse, schema=WARC_SCHEMA
     )
+
+
+def parse_http_payload(data: bytes) -> Tuple[int, Dict[str, str], bytes]:
+    """An HTTP/1.x response message (the content block of a WARC
+    ``response`` record) -> (status_code, headers, body bytes).
+
+    Header names are returned lowercased (RFC 9110 field names are
+    case-insensitive; lowercasing makes the charset lookup a plain dict
+    get); repeated fields keep the LAST value.  Tolerates bare-LF line
+    endings (real crawls contain them) and a missing body."""
+    data = bytes(data)
+    sep = data.find(b"\r\n\r\n")
+    seplen = 4
+    if sep < 0:
+        sep = data.find(b"\n\n")
+        seplen = 2
+    if sep < 0:
+        sep, seplen = len(data), 0
+    head = data[:sep].replace(b"\r\n", b"\n").split(b"\n")
+    status_line = head[0] if head else b""
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"bad HTTP status line: {status_line[:40]!r}")
+    status = int(parts[1])
+    headers: Dict[str, str] = {}
+    for ln in head[1:]:
+        name, sp, val = ln.partition(b":")
+        if not sp:
+            raise ValueError(f"malformed HTTP header {ln[:40]!r}")
+        headers[name.strip().decode().lower()] = val.strip().decode(
+            "latin-1"
+        )
+    return status, headers, data[sep + seplen :]
+
+
+def _charset_of(content_type: str) -> str:
+    for part in (content_type or "").split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip().lower() == "charset":
+            return v.strip().strip("\"'").lower() or "utf-8"
+    return "utf-8"
+
+
+def decode_http_responses(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload"
+) -> DataFrame:
+    """WARC response payloads -> typed HTTP rows:
+    ``(id, status, content_type, charset, body_text, body_len)``.
+
+    ``body_text`` decodes with the declared charset (default utf-8) and
+    falls back to latin-1 on decode errors (the crawl-robust order:
+    latin-1 never fails, so every fetched page yields SOME text — the
+    lang-id / quality operators downstream are the real gate).  One
+    Arrow ``mapInPandas`` stage, per-payload Python, no shuffle."""
+    import pandas as pd  # noqa: F811 (module-level import is for parse)
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sts, ctypes, chsets, texts, lens = [], [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                status, headers, body = parse_http_payload(payload)
+                ctype = headers.get("content-type", "")
+                charset = _charset_of(ctype)
+                try:
+                    text = body.decode(charset)
+                except (UnicodeDecodeError, LookupError):
+                    charset = "latin-1"
+                    text = body.decode("latin-1")
+                ids.append(rid)
+                sts.append(status)
+                ctypes.append(ctype)
+                chsets.append(charset)
+                texts.append(text)
+                lens.append(len(body))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "status": sts,
+                    "content_type": ctypes,
+                    "charset": chsets,
+                    "body_text": texts,
+                    "body_len": lens,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _dec,
+        schema="id long, status long, content_type string, "
+        "charset string, body_text string, body_len long",
+    )

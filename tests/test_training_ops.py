@@ -1219,3 +1219,42 @@ def test_robots_compile_and_check(spark):
         0: False, 1: True, 2: False, 3: True,
         4: False, 5: True, 6: True, 7: True,
     }
+
+
+def test_parse_http_payload(spark):
+    """HTTP response parsing: CRLF and bare-LF heads, last-value-wins
+    repeated headers, declared-charset decode with latin-1 fallback on
+    lies, missing body, and malformed status line raises."""
+    from ontologybasedkgcreation_spark.sources.warc import (
+        decode_http_responses,
+        parse_http_payload,
+    )
+
+    st, h, body = parse_http_payload(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"X-A: 1\r\nX-A: 2\r\n\r\nhello"
+    )
+    assert (st, h["content-type"], h["x-a"], body) == (
+        200, "text/html", "2", b"hello"
+    )
+    st, h, body = parse_http_payload(b"HTTP/1.0 301 Moved\nLocation: /x\n\n")
+    assert (st, h["location"], body) == (301, "/x", b"")
+    with pytest.raises(ValueError, match="status line"):
+        parse_http_payload(b"GARBAGE\r\n\r\n")
+    # charset: declared utf-8 but invalid bytes -> latin-1 fallback
+    df = spark.createDataFrame(
+        [
+            (1, b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+                b"charset=utf-8\r\n\r\n\xff\xfe"),
+            (2, b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; "
+                b"charset=ISO-8859-1\r\n\r\nabc"),
+            (3, None),
+        ],
+        "id long, payload binary",
+    )
+    got = {r["id"]: r for r in decode_http_responses(df).collect()}
+    assert got[1]["charset"] == "latin-1"
+    assert got[1]["body_text"] == "\xff\xfe" and got[1]["body_len"] == 2
+    assert got[2]["charset"] == "iso-8859-1"
+    assert got[2]["body_text"] == "abc"
+    assert 3 not in got
