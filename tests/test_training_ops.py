@@ -1258,3 +1258,66 @@ def test_parse_http_payload(spark):
     assert got[2]["charset"] == "iso-8859-1"
     assert got[2]["body_text"] == "abc"
     assert 3 not in got
+
+
+def test_crawl_chain_composes_end_to_end(spark):
+    """The whole crawl-side chain in one flow: a gzipped WARC response
+    record -> HTTP parse -> link extraction -> URL canonicalization ->
+    robots evaluation.  Pins that the stage contracts (column names,
+    types, null behavior) actually compose — the 'a user could run
+    their pipeline' property."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        canonicalize_urls,
+    )
+    from ontologybasedkgcreation_spark.operators.web import (
+        compile_robots,
+        extract_links,
+        robots_check,
+    )
+    from ontologybasedkgcreation_spark.sources.warc import (
+        decode_http_responses,
+        decode_warc,
+        encode_warc,
+    )
+
+    html = (
+        '<html><a href="https://A.example.com:443/Path?utm_source=x&b=2">'
+        "keep</a>"
+        '<a href="https://blocked.example.com/private/page">maybe</a>'
+        "</html>"
+    )
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+        b"\r\n\r\n" + html.encode()
+    )
+    warc_bytes = encode_warc(
+        [(
+            {
+                "WARC-Type": "response",
+                "WARC-Target-URI": "https://src.org/",
+            },
+            http,
+        )],
+        gzip_each=True,
+    )
+    pages = spark.createDataFrame([(1, warc_bytes)], "id long, warc binary")
+    records = decode_warc(pages).filter(F.col("warc_type") == "response")
+    responses = decode_http_responses(records, "id", "payload")
+    links = extract_links(responses, "id", "body_text")
+    canon = canonicalize_urls(links, "id", "link")
+    got = {r["canon_url"]: r for r in canon.collect()}
+    # case/port/tracking-param normalization applied to the extracted link
+    assert "https://a.example.com/Path?b=2" in got
+    robots = spark.createDataFrame(
+        [("blocked.example.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots string",
+    )
+    rules = compile_robots(robots, "host", "robots")
+    verdict = {
+        (r["host"], r["allowed"])
+        for r in robots_check(
+            canon.select("id", "host", "path"), rules, "id", "host", "path"
+        ).collect()
+    }
+    assert ("blocked.example.com", False) in verdict
+    assert ("a.example.com", True) in verdict
