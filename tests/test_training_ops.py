@@ -1321,3 +1321,16 @@ def test_crawl_chain_composes_end_to_end(spark):
     }
     assert ("blocked.example.com", False) in verdict
     assert ("a.example.com", True) in verdict
+
+
+def test_query_oracle_registry_lockstep():
+    """Every queries() entry has an oracle_sql() entry and vice versa
+    (the driver hash-checks each pair), and every oracle is a
+    non-trivial SQL string."""
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(q) == set(o)
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper()
+               for s in o.values())
