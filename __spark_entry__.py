@@ -874,6 +874,36 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_hash", "sample_keep")
 
 
+def q_credit_cards(spark, sf_dir):
+    """Luhn-validated card detection (text_analysis.detect_credit_cards
+    — the PCI-grade PII tier): per doc_id%5 the text carries a valid
+    Visa test number / a Luhn-invalid sibling / a dash-separated valid
+    card / a 20-digit run that must NOT be a candidate / nothing; the
+    oracle states the (candidates, valid) outcome outright, so a broken
+    boundary regex or Luhn fold breaks the hash."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        detect_credit_cards,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    p = F.col("doc_id") % 5
+    suffix = (
+        F.when(p == 0, " pay 4111111111111111 now")
+        .when(p == 1, " ref 4111111111111112 bad")
+        .when(p == 2, " card 4012-8888-8888-1881 ok")
+        .when(p == 3, " id 41111111111111112222 long")
+        .otherwise("")
+    )
+    return detect_credit_cards(
+        d.select(
+            "doc_id", F.concat(F.coalesce("text", F.lit("")), suffix)
+            .alias("text")
+        ),
+        "doc_id",
+        "text",
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sampling (text_analysis.
     weighted_sample — the resampling half of DSIR): weights are a pure
@@ -1817,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "tfidf_terms": q_tfidf_terms,
         "weighted_sample": q_weighted_sample,
+        "credit_cards": q_credit_cards,
         "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
@@ -2685,6 +2716,17 @@ SELECT d.doc_id,
        COALESCE(s.n_grams, 0) AS n_grams,
        COALESCE(s.log_weight, 0.0) AS log_weight
 FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+        # credit_cards: outcome stated from the construction — the base
+        # word-salad text carries no 13+-digit runs, so the planted
+        # suffix fully determines (n_candidates, n_valid)
+        "credit_cards": """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 1 ELSE 0 END
+            AS BIGINT) AS n_candidates,
+       CAST(CASE WHEN doc_id % 5 IN (0, 2) THEN 1 ELSE 0 END
+            AS BIGINT) AS n_valid
+FROM documents
 """,
         # weighted_sample: identical 60-bit md5 hash, u=(h+1)/2^60,
         # ln(u)/w exponential keys rounded to 9 BEFORE ranking, ties by

@@ -874,3 +874,63 @@ def weighted_sample(
     )
     w = Window.orderBy(F.col("es_key").desc(), F.col(id_col).asc())
     return keyed.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+#: 13-19 digits with optional single space/dash separators, word-bounded
+#: (a 20+ digit run can never match: every candidate window would need a
+#: word boundary inside the run).  RE2-safe — no lookarounds.
+CARD_RE = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def detect_credit_cards(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Luhn-validated payment-card detection ->
+    ``(id, n_candidates, n_valid)`` — the PCI-grade upgrade of the
+    regex-only PII pass (``redact_pii``): a 13-19 digit run (optional
+    space/dash separators) is only a REAL card number if its check
+    digit satisfies the Luhn formula, which kills the overwhelmingly
+    false-positive long-number matches (timestamps, ids, phone
+    concatenations) a regex alone flags.
+
+    Scale shape: pure built-ins end to end — regexp_extract_all +
+    per-candidate digit fold (``aggregate`` over ≤19 elements; the
+    HOF-fold CodegenFallback note in BENCH/BASELINE.md is about
+    vector-sized folds, not 19) — one projection, zero shuffles, zero
+    Python, zero joins."""
+    cands = F.coalesce(
+        F.regexp_extract_all(F.col(text_col), F.lit(CARD_RE), 0),
+        F.array().cast("array<string>"),
+    )
+
+    def luhn_ok(s):
+        r = F.reverse(F.regexp_replace(s, "[ -]", ""))
+
+        def dig(i):
+            return r.substr(i, F.lit(1)).cast("int")
+
+        terms = F.transform(
+            F.sequence(F.lit(1), F.length(r)),
+            lambda i: F.when(
+                i % 2 == 0,
+                F.when(dig(i) * 2 > 9, dig(i) * 2 - 9).otherwise(
+                    dig(i) * 2
+                ),
+            ).otherwise(dig(i)),
+        )
+        total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+        return total % 10 == 0
+
+    valid_flags = F.transform(
+        cands, lambda c: F.when(luhn_ok(c), 1).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.coalesce(
+            F.aggregate(valid_flags, F.lit(0), lambda a, x: a + x),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_valid"),
+    )

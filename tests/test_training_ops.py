@@ -1334,3 +1334,29 @@ def test_query_oracle_registry_lockstep():
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in o.values())
+
+
+def test_detect_credit_cards(spark):
+    """Luhn validation over bounded digit runs: valid Visa/Amex test
+    numbers (plain, dashed, spaced) count as valid, a Luhn-invalid
+    sibling does not, 12-digit and 20-digit runs are not candidates,
+    NULL text passes through as (0, 0)."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        detect_credit_cards,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "pay 4111111111111111 and 3782 822463 10005"),
+            (1, "fake 4111111111111112"),
+            (2, "dashed 4012-8888-8888-1881"),
+            (3, "short 123456789012 and long 41111111111111112222"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_candidates"], r["n_valid"])
+        for r in detect_credit_cards(df, "doc_id", "text").collect()
+    }
+    assert got == {0: (2, 2), 1: (1, 0), 2: (1, 1), 3: (0, 0), 4: (0, 0)}
