@@ -874,6 +874,39 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "source", "sample_hash", "sample_keep")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (temporal.asof_join — the event-enrichment primitive
+    Spark lacks): every click event picks up the user's latest prior-or-
+    simultaneous view event (backward semantics) via the union+window
+    shape (ONE key exchange, no range explosion).  The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — two independent implementations of
+    the same semantics must agree row for row."""
+    from ontologybasedkgcreation_spark.operators.temporal import asof_join
+
+    ev = _doc(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+    )
+    j = asof_join(clicks, views, ["user_id"], left_ts="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "right_ts",
+        F.col("right_view_id").alias("view_id"),
+        F.col("right_value").alias("view_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("right_ts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("lag_us"),
+    )
+
+
 def q_credit_cards(spark, sf_dir):
     """Luhn-validated card detection (text_analysis.detect_credit_cards
     — the PCI-grade PII tier): per doc_id%5 the text carries a valid
@@ -1848,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "weighted_sample": q_weighted_sample,
         "credit_cards": q_credit_cards,
+        "asof_join": q_asof_join,
         "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
@@ -2716,6 +2750,26 @@ SELECT d.doc_id,
        COALESCE(s.n_grams, 0) AS n_grams,
        COALESCE(s.log_weight, 0.0) AS log_weight
 FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+        # asof_join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — an
+        # independent implementation of the same backward semantics
+        # (latest right.ts <= left.ts per key, exact matches included,
+        # unmatched lefts NULL)
+        "asof_join": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts AS vts, event_id AS view_id, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       v.vts AS right_ts,
+       v.view_id AS view_id,
+       v.value AS view_value,
+       CAST(epoch_us(c.ts) - epoch_us(v.vts) AS BIGINT) AS lag_us
+FROM clicks c
+ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.vts
 """,
         # credit_cards: outcome stated from the construction — the base
         # word-salad text carries no 13+-digit runs, so the planted

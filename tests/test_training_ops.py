@@ -1360,3 +1360,44 @@ def test_detect_credit_cards(spark):
         for r in detect_credit_cards(df, "doc_id", "text").collect()
     }
     assert got == {0: (2, 2), 1: (1, 0), 2: (1, 1), 3: (0, 0), 4: (0, 0)}
+
+
+def test_asof_join_semantics(spark):
+    """Backward/forward/tolerance as-of semantics on a hand case:
+    exact-timestamp matches included, pre-first-right lefts NULL,
+    keys with no right side NULL, tolerance nulls distant matches,
+    bad direction raises."""
+    import datetime as dt
+
+    from ontologybasedkgcreation_spark.operators.temporal import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", T(10)), (2, "u", T(20)), (3, "u", T(5)), (4, "v", T(10))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", T(8), 100.0), ("u", T(10), 200.0), ("u", T(15), 300.0)],
+        "k string, ts timestamp, px double",
+    )
+
+    def run(**kw):
+        return {
+            r["lid"]: (r["right_ts"], r["right_px"])
+            for r in asof_join(left, right, ["k"], **kw).collect()
+        }
+
+    back = run()
+    assert back[1] == (T(10), 200.0)   # exact match included
+    assert back[2] == (T(15), 300.0)   # latest <= 20
+    assert back[3] == (None, None)     # nothing at or before 5
+    assert back[4] == (None, None)     # key with no right rows
+    fwd = run(direction="forward")
+    assert fwd[1] == (T(10), 200.0)    # exact match included
+    assert fwd[2] == (None, None)      # nothing at or after 20
+    assert fwd[3] == (T(8), 100.0)     # earliest >= 5
+    tol = run(tolerance_us=3_000_000)
+    assert tol[1] == (T(10), 200.0)    # gap 0 within 3s
+    assert tol[2] == (None, None)      # gap 5s > 3s nulls out
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], direction="nearest")
