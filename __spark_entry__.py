@@ -907,6 +907,19 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (temporal.sessionize — lag + running
+    flag sum, one key exchange): events sessionized per user at a
+    1-hour gap; the oracle replays the identical two-window
+    formulation."""
+    from ontologybasedkgcreation_spark.operators.temporal import sessionize
+
+    ev = _doc(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(
+        ev, ["user_id"], ts_col="ts", gap_us=3_600_000_000
+    ).select("event_id", "user_id", "ts", "session_index", "session_id")
+
+
 def q_credit_cards(spark, sf_dir):
     """Luhn-validated card detection (text_analysis.detect_credit_cards
     — the PCI-grade PII tier): per doc_id%5 the text carries a valid
@@ -1882,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "credit_cards": q_credit_cards,
         "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
         "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
@@ -2770,6 +2784,33 @@ SELECT c.event_id, c.user_id, c.ts,
 FROM clicks c
 ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.vts
+""",
+        # sessionize: the same lag + gap-flag + running-sum windows over
+        # epoch microseconds (integer compares — no float anywhere);
+        # (user_id, ts) is unique in the events table, so the window
+        # order is total
+        "sessionize": """
+WITH t AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+         ) AS prev
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL OR tus - prev > 3600000000
+                 THEN 1 ELSE 0 END AS nf
+  FROM t
+), s AS (
+  SELECT event_id, user_id, ts,
+         CAST(SUM(nf) OVER (
+           PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING
+         ) - 1 AS BIGINT) AS session_index
+  FROM f
+)
+SELECT event_id, user_id, ts, session_index,
+       CAST(user_id AS VARCHAR) || ':'
+       || CAST(session_index AS VARCHAR) AS session_id
+FROM s
 """,
         # credit_cards: outcome stated from the construction — the base
         # word-salad text carries no 13+-digit runs, so the planted

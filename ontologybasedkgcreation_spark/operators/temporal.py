@@ -117,3 +117,44 @@ def asof_join(
     ]
     cols += [F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in rpay]
     return out.select(*cols)
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Gap-based sessionization -> the input plus ``session_index``
+    (0-based per key, in time order) and ``session_id``
+    (``<key>:<index>``) — the standard event-stream grouping (a new
+    session starts when the gap since the previous event of the same
+    key exceeds ``gap_us`` microseconds).
+
+    The classic two-window formulation, exactly replayable in SQL:
+    ``lag`` the previous timestamp per key, flag gap-exceeded (or
+    first-event) rows, running-sum the flags.  Scale shape: ONE key
+    exchange shared by both windows (same partitioning and ordering —
+    Catalyst plans a single sort+exchange); no Python, no joins.  Ties
+    at identical (key, ts) order by the remaining sort stability of the
+    window — gap flags only compare against the lagged timestamp, so
+    equal-ts runs always share a session regardless of their order."""
+    key_cols = list(key_cols)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols).orderBy(t.asc())
+    prev = F.lag(t).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((t - prev) > F.lit(int(gap_us))), 1
+    ).otherwise(0)
+    run = (
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1
+    )
+    out = df.withColumn("session_index", run.cast("long"))
+    sid = F.concat_ws(
+        ":",
+        *[F.col(c).cast("string") for c in key_cols],
+        F.col("session_index").cast("string"),
+    )
+    return out.withColumn("session_id", sid)

@@ -1401,3 +1401,33 @@ def test_asof_join_semantics(spark):
     assert tol[2] == (None, None)      # gap 5s > 3s nulls out
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, ["k"], direction="nearest")
+
+
+def test_sessionize(spark):
+    """Hand-traced sessions: a 10-minute gap splits, boundary-equal gap
+    does not (strictly-greater semantics), per-key independence, single
+    events are their own session."""
+    import datetime as dt
+
+    from ontologybasedkgcreation_spark.operators.temporal import sessionize
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, "u", T(0)), (2, "u", T(5)),     # session 0
+            (3, "u", T(15)),                    # gap == 10min: same session
+            (4, "u", T(26)),                    # gap 11min > 10: session 1
+            (5, "v", T(0)),                     # other key: own session 0
+        ],
+        "eid long, k string, ts timestamp",
+    )
+    got = {
+        r["eid"]: (r["session_index"], r["session_id"])
+        for r in sessionize(
+            df, ["k"], ts_col="ts", gap_us=10 * 60 * 1_000_000
+        ).collect()
+    }
+    assert got == {
+        1: (0, "u:0"), 2: (0, "u:0"), 3: (0, "u:0"),
+        4: (1, "u:1"), 5: (0, "v:0"),
+    }
