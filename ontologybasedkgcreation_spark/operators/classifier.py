@@ -60,9 +60,10 @@ def train_quality_classifier(
     that occurs in the training set (absent buckets are implicitly 0 and
     stay 0 under plain GD; ``score_with_classifier`` coalesces them).
 
-    ``pos``/``neg`` are the two labeled frames (y=1 / y=0); weights start
-    at 0 (margin 0 -> p=0.5 everywhere), each fixed iteration applies one
-    full-batch gradient step with optional L2.  At 100 TB the feature
+    ``pos``/``neg`` are the two labeled frames (y=1 / y=0) and their id
+    sets must be DISJOINT (an id on both sides would fan out the label
+    join); weights start at 0 (margin 0 -> p=0.5 everywhere), each fixed
+    iteration applies one full-batch gradient step with optional L2.  At 100 TB the feature
     table is checkpointed once and every round touches it with ONE
     broadcast hash join (model side is ``num_buckets`` rows) — no
     all-pairs, no driver-side vectors."""
