@@ -502,3 +502,15 @@ def test_weighted_sample_is_take_ordered(spark):
 
     plan = _plan(entry.q_weighted_sample(spark, SF), "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temporal_ops_single_key_exchange(spark):
+    """asof_join (union + ordered window) and sessionize (two windows,
+    same spec) must each plan exactly ONE hash-partitioning exchange —
+    the whole point of their formulations; a second shuffle means the
+    windows stopped sharing the key sort."""
+    import __spark_entry__ as entry
+
+    for name in ("asof_join", "sessionize"):
+        plan = _plan(entry.queries()[name](spark, SF), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, name
