@@ -1711,6 +1711,65 @@ def q_stream_window(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Native session windows in Structured Streaming
+    (``F.session_window`` — the streaming counterpart of the batch
+    ``temporal.sessionize``): 50 synthetic users with 30 s-spaced
+    events and an hour-long silence every 200 docs, 30-minute gap
+    windows, complete-mode memory sink, one availableNow batch.  The
+    oracle replays the gap-merge semantics (new session at delta >=
+    gap — session_window merges on STRICT overlap) with the batch
+    lag/flag/cumsum SQL, then aggregates (start, last + gap, count)."""
+    import shutil
+    import tempfile
+
+    d = _doc(spark, sf_dir, "documents")
+    ev = d.select(
+        (F.col("doc_id") % 50).alias("user_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(
+                secs=F.col("doc_id") * 30
+                + F.floor(F.col("doc_id") / 200) * 3600
+            )
+        ).alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_sessions_", dir=_fast_tmp())
+    try:
+        src = f"{base}/src"
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(
+                "user_id",
+                F.session_window("ts", "30 minutes").alias("sw"),
+            )
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q_stream_sessions_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        got = spark.sql("select * from q_stream_sessions_sink")
+        rows = got.collect()
+        return spark.createDataFrame(rows, got.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_stream_dedup(spark, sf_dir):
     """The applyInPandasWithState online exact-dedup operator run END-TO-END
     as a bounded stream (one availableNow micro-batch): documents plus a
@@ -1923,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_dedup_jvm": q_stream_dedup_jvm,
         "stream_window": q_stream_window,
+        "stream_sessions": q_stream_sessions,
     }
 
 
@@ -3522,6 +3582,40 @@ FROM sig a JOIN sig b ON a.doc < b.doc
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """,
         # stream_window: tumbling event-time windows == epoch-floored GROUP BY
+        # stream_sessions: replay the construction, then the gap-merge
+        # semantics — session_window starts a NEW session at delta >=
+        # gap (merge requires strict overlap) — via the batch lag/flag/
+        # cumsum windows; end = last event + gap
+        "stream_sessions": """
+WITH ev AS (
+  SELECT doc_id % 50 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+         + to_seconds(CAST(doc_id * 30 + (doc_id // 200) * 3600
+                           AS BIGINT)) AS ts
+  FROM documents
+), t AS (
+  SELECT user_id, ts, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+         ) AS prev
+  FROM ev
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+                 THEN 1 ELSE 0 END AS nf
+  FROM t
+), s AS (
+  SELECT user_id, ts,
+         SUM(nf) OVER (
+           PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING
+         ) AS si
+  FROM f
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, si
+""",
         "stream_window": """
 WITH p AS (
   SELECT TIMESTAMP '2024-01-01 00:00:00'

@@ -210,3 +210,77 @@ def test_reconcile_merges_cross_batch_alias(spark, tmp_path):
     assert _node_set(spark.read.parquet(nodes_path).drop("bucket")) == _node_set(
         single["nodes"]
     )
+
+
+def test_stream_sessions_match_batch_sessionize(spark):
+    """Native streaming session_window and the batch sessionize operator
+    derive the SAME sessions on the same events (start = first event,
+    end = last event + gap, same membership) — the two gap semantics
+    agree whenever no delta equals the gap exactly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ontologybasedkgcreation_spark.operators.temporal import sessionize
+
+    ev = spark.range(0, 300).select(
+        (F.col("id") % 10).alias("user_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(
+                secs=F.col("id") * 60 + F.floor(F.col("id") / 100) * 7200
+            )
+        ).alias("ts"),
+    )
+    batch = (
+        sessionize(ev, ["user_id"], ts_col="ts", gap_us=30 * 60 * 1_000_000)
+        .groupBy("user_id", "session_index")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_end"
+            ),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    base = tempfile.mkdtemp(prefix="sess_xval_", dir="/dev/shm")
+    try:
+        src = f"{base}/src"
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "4 hours")
+            .groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("sw")
+            )
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sess_xval_sink")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in spark.sql("select * from sess_xval_sink").collect()
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    assert got == expected and got
