@@ -907,6 +907,39 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketed interval overlap join (temporal.interval_join): left
+    intervals [doc_id*10, +(doc_id%7)*5] vs right intervals shifted
+    by 3, keyed by doc_id%20, bucket width 40 (so intervals span 1-2
+    buckets and the first-shared-bucket dedup actually fires).  The
+    oracle is the plain theta range join — the bucketed plan must
+    reproduce it pair for pair, exactly once each."""
+    from ontologybasedkgcreation_spark.operators.temporal import (
+        interval_join,
+    )
+
+    d = _doc(spark, sf_dir, "documents").select("doc_id")
+    lft = d.select(
+        F.col("doc_id").alias("lid"),
+        (F.col("doc_id") % 20).alias("k"),
+        (F.col("doc_id") * 10).alias("s"),
+        (F.col("doc_id") * 10 + (F.col("doc_id") % 7) * 5).alias("e"),
+    )
+    rgt = d.select(
+        F.col("doc_id").alias("rid"),
+        (F.col("doc_id") % 20).alias("k"),
+        (F.col("doc_id") * 10 + 3).alias("s"),
+        (F.col("doc_id") * 10 + 3 + (F.col("doc_id") % 5) * 30).alias(
+            "e"
+        ),
+    )
+    return interval_join(
+        lft, rgt, ["k"], "s", "e", "s", "e", bucket_width=40
+    ).select(
+        "lid", "k", "s", "e", "right_rid", "right_s", "right_e"
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (temporal.sessionize — lag + running
     flag sum, one key exchange): events sessionized per user at a
@@ -1955,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "credit_cards": q_credit_cards,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
+        "interval_join": q_interval_join,
         "duplicate_spans": q_duplicate_spans,
         "bm25_adopt": q_bm25_adopt,
         "consolidate": q_consolidate,
@@ -2844,6 +2878,26 @@ SELECT c.event_id, c.user_id, c.ts,
 FROM clicks c
 ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.vts
+""",
+        # interval_join: the oracle is the PLAIN theta range join over
+        # the same construction — the bucketed equi-join plan must
+        # reproduce every overlapping pair exactly once
+        "interval_join": """
+WITH lft AS (
+  SELECT doc_id AS lid, doc_id % 20 AS k,
+         doc_id * 10 AS s,
+         doc_id * 10 + (doc_id % 7) * 5 AS e
+  FROM documents
+), rgt AS (
+  SELECT doc_id AS rid, doc_id % 20 AS k,
+         doc_id * 10 + 3 AS s,
+         doc_id * 10 + 3 + (doc_id % 5) * 30 AS e
+  FROM documents
+)
+SELECT l.lid, l.k, l.s, l.e,
+       r.rid AS right_rid, r.s AS right_s, r.e AS right_e
+FROM lft l JOIN rgt r
+  ON l.k = r.k AND l.s <= r.e AND r.s <= l.e
 """,
         # sessionize: the same lag + gap-flag + running-sum windows over
         # epoch microseconds (integer compares — no float anywhere);

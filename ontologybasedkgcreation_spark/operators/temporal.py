@@ -158,3 +158,71 @@ def sessionize(
         F.col("session_index").cast("string"),
     )
     return out.withColumn("session_id", sid)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+    bucket_width: int = 3600,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Interval overlap join -> one row per (left, right) pair of
+    CLOSED intervals that overlap (``l_start <= r_end AND r_start <=
+    l_end``) within the same key — the range-join primitive (ad
+    impressions x outages, sessions x incidents, genomic ranges) that
+    Spark otherwise plans as a per-key cross product with a theta
+    filter.
+
+    The bucketed formulation: each interval explodes to the
+    ``bucket_width``-sized buckets it covers, pairs meet by (key,
+    bucket) EQUI-join, and each overlapping pair is emitted EXACTLY
+    once — not by a distinct, but by keeping only the bucket containing
+    ``greatest(l_start, r_start)`` (the pair's first shared bucket), so
+    no dedup shuffle exists at all.  Start/end are integers (epoch
+    seconds, positions); rows with start > end are dropped (empty
+    intervals).
+
+    Scale shape: fan-out per row = interval length / bucket_width
+    (size ``bucket_width`` to the TYPICAL interval so fan-out is ~1-2),
+    one equi-join both sides of which Catalyst/AQE can re-plan, and the
+    overlap + first-bucket predicates are whole-stage codegen — no
+    cross product, no Python, no distinct."""
+    on = list(on)
+    w = int(bucket_width)
+
+    def explode_side(df, s, e, tag):
+        return df.filter(F.col(s) <= F.col(e)).select(
+            *on,
+            F.struct(*[F.col(c) for c in df.columns]).alias(f"_{tag}row"),
+            F.col(s).cast("long").alias(f"_{tag}s"),
+            F.col(e).cast("long").alias(f"_{tag}e"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s).cast("long") / w),
+                    F.floor(F.col(e).cast("long") / w),
+                )
+            ).alias("_bk"),
+        )
+
+    le = explode_side(left, l_start, l_end, "l")
+    re_ = explode_side(right, r_start, r_end, "r")
+    joined = le.join(re_, [*on, "_bk"]).filter(
+        (F.col("_ls") <= F.col("_re"))
+        & (F.col("_rs") <= F.col("_le"))
+        & (
+            F.col("_bk")
+            == F.floor(F.greatest(F.col("_ls"), F.col("_rs")) / w)
+        )
+    )
+    lcols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    rcols = [
+        F.col(f"_rrow.{c}").alias(f"{right_prefix}{c}")
+        for c in right.columns
+        if c not in on
+    ]
+    return joined.select(*lcols, *rcols)

@@ -1431,3 +1431,40 @@ def test_sessionize(spark):
         1: (0, "u:0"), 2: (0, "u:0"), 3: (0, "u:0"),
         4: (1, "u:1"), 5: (0, "v:0"),
     }
+
+
+def test_interval_join(spark):
+    """Bucketed interval join: exactly-once emission for pairs sharing
+    MANY buckets, closed-interval boundary touch counts, disjoint and
+    cross-key pairs don't, inverted (empty) intervals drop."""
+    from ontologybasedkgcreation_spark.operators.temporal import (
+        interval_join,
+    )
+
+    lft = spark.createDataFrame(
+        [
+            (1, "a", 0, 100),    # spans many width-10 buckets
+            (2, "a", 200, 210),
+            (3, "a", 300, 300),  # point interval
+            (4, "b", 0, 100),    # other key
+            (5, "a", 50, 40),    # inverted: dropped
+        ],
+        "lid long, k string, s long, e long",
+    )
+    rgt = spark.createDataFrame(
+        [
+            (10, "a", 20, 80),    # overlaps 1 across 7 shared buckets
+            (11, "a", 100, 150),  # touches 1 at the closed boundary
+            (12, "a", 205, 205),  # inside 2
+            (13, "a", 301, 310),  # disjoint from 3 (300 < 301)
+            (14, "b", 90, 95),    # overlaps 4 only (key b)
+        ],
+        "rid long, k string, s long, e long",
+    )
+    got = sorted(
+        (r["lid"], r["right_rid"])
+        for r in interval_join(
+            lft, rgt, ["k"], "s", "e", "s", "e", bucket_width=10
+        ).collect()
+    )
+    assert got == [(1, 10), (1, 11), (2, 12), (4, 14)]
