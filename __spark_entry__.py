@@ -953,6 +953,36 @@ def q_sessionize(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "session_index", "session_id")
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode-fold normalization (text_analysis.normalize_text — the
+    dedup-key preprocessing step): per doc_id%4 the text carries
+    accented/uppercase/punctuated suffixes ('Café RÉSUMÉ',
+    'naïve—façade', 'ÜBER Äpfel!!') that must fold to plain ascii; the
+    oracle replays the identical lower→translate→strip→collapse
+    pipeline with a translate() generated from the SAME ACCENT_FOLD
+    map."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    d = _doc(spark, sf_dir, "documents")
+    p = F.col("doc_id") % 4
+    suffix = (
+        F.when(p == 0, " Café RÉSUMÉ")
+        .when(p == 1, " naïve—façade")
+        .when(p == 2, " ÜBER Äpfel!!")
+        .otherwise("")
+    )
+    return normalize_text(
+        d.select(
+            "doc_id",
+            F.concat(F.coalesce("text", F.lit("")), suffix).alias("text"),
+        ),
+        "doc_id",
+        "text",
+    )
+
+
 def q_credit_cards(spark, sf_dir):
     """Luhn-validated card detection (text_analysis.detect_credit_cards
     — the PCI-grade PII tier): per doc_id%5 the text carries a valid
@@ -1986,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "weighted_sample": q_weighted_sample,
         "credit_cards": q_credit_cards,
+        "normalize_text": q_normalize_text,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "interval_join": q_interval_join,
@@ -2048,6 +2079,17 @@ WITH sh AS (
 """
 
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _fold_maps():
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        ACCENT_FOLD,
+    )
+
+    return "".join(ACCENT_FOLD.keys()), "".join(ACCENT_FOLD.values())
+
+
+_FOLD_SRC, _FOLD_DST = _fold_maps()
 
 
 def _subclass_values() -> str:
@@ -2926,6 +2968,23 @@ SELECT event_id, user_id, ts, session_index,
        || CAST(session_index AS VARCHAR) AS session_id
 FROM s
 """,
+        # normalize_text: the identical lower -> translate(ACCENT_FOLD,
+        # generated below from the same map) -> non-alnum strip ->
+        # whitespace collapse pipeline; DuckDB regexp_replace needs the
+        # explicit 'g' flag (Spark's is global by default)
+        "normalize_text": """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+         translate(lower(COALESCE(text, '')
+           || CASE doc_id % 4
+                WHEN 0 THEN ' Café RÉSUMÉ'
+                WHEN 1 THEN ' naïve—façade'
+                WHEN 2 THEN ' ÜBER Äpfel!!'
+                ELSE '' END),
+           '__FOLD_SRC__', '__FOLD_DST__'),
+         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+""".replace("__FOLD_SRC__", _FOLD_SRC).replace("__FOLD_DST__", _FOLD_DST),
         # credit_cards: outcome stated from the construction — the base
         # word-salad text carries no 13+-digit runs, so the planted
         # suffix fully determines (n_candidates, n_valid)

@@ -934,3 +934,54 @@ def detect_credit_cards(
         .cast("long")
         .alias("n_valid"),
     )
+
+
+#: common Latin accent folds (char-for-char — multi-char folds like
+#: 'ß'->'ss' are deliberately out: translate() is the whole-stage-codegen
+#: path and the map is shared verbatim with the SQL oracle).  Uppercase
+#: forms fold via lower() first.
+ACCENT_FOLD = {
+    "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a",
+    "ç": "c",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ñ": "n",
+    "ò": "o", "ó": "o", "ô": "o", "õ": "o", "ö": "o", "ø": "o",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ý": "y", "ÿ": "y",
+}
+
+
+def normalize_text(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Normalization for dedup keys -> ``(id, norm_text)``: lowercase,
+    fold common Latin accents (``ACCENT_FOLD``), collapse everything
+    that is not ``[a-z0-9]`` to a single space, trim.  'Café' and
+    'CAFE', 'naïve—façade' and 'naive facade' collapse to the same
+    string — run it BEFORE exact/MinHash dedup so typographic variants
+    stop defeating the content hash.
+
+    Everything is a single projection of string built-ins (lower,
+    translate, two regexp_replace) — whole-stage codegen, partition-
+    parallel, zero Python; the oracle replays the IDENTICAL pipeline
+    with a translate() call generated from the same map.  NULL text
+    passes through as '' (the output-contract discipline)."""
+    src = "".join(ACCENT_FOLD.keys())
+    dst = "".join(ACCENT_FOLD.values())
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.translate(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    src,
+                    dst,
+                ),
+                "[^a-z0-9\\s]",
+                " ",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.select(F.col(id_col), norm.alias("norm_text"))

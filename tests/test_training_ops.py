@@ -1468,3 +1468,29 @@ def test_interval_join(spark):
         ).collect()
     )
     assert got == [(1, 10), (1, 11), (2, 12), (4, 14)]
+
+
+def test_normalize_text(spark):
+    """Accent folding, case, punctuation and whitespace collapse produce
+    identical dedup keys for typographic variants; NULL text yields ''."""
+    from ontologybasedkgcreation_spark.operators.text_analysis import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "Café  RÉSUMÉ"),
+            (1, "cafe resume"),
+            (2, "naïve—façade (ØRSTED!)"),
+            (3, None),
+            (4, "  \t  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["norm_text"]
+        for r in normalize_text(df, "doc_id", "text").collect()
+    }
+    assert got[0] == got[1] == "cafe resume"
+    assert got[2] == "naive facade orsted"
+    assert got[3] == "" and got[4] == ""
