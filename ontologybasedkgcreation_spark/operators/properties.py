@@ -30,7 +30,7 @@ no external lookups.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -225,46 +225,62 @@ def assign_and_titlecase_expr(validated: DataFrame) -> DataFrame:
     )
 
 
+# Cross-batch memo of title_props(assign_props(value, schema)) keyed on the
+# EXACT (value entries in map order, schema) pair — assign+titlecase is a
+# pure function of that pair, and natural corpora repeat entity mentions
+# Zipf-style, so after the first batches the per-row cost degrades to a
+# dict lookup (the hash_tokens_u64 discipline: bounded, cleared wholesale
+# on overflow, values recomputable).  The value key is ORDER-SENSITIVE
+# (tuple(items), not sorted) because rule 1 concatenates map values in
+# entry order.
+_ASSIGN_CACHE: dict = {}
+_ASSIGN_CACHE_MAX = 1 << 18
+
+
+def _assign_title_cached(value, schema) -> Dict[str, str]:
+    key = (
+        tuple(value.items()) if value is not None else None,
+        tuple(schema) if schema is not None else None,
+    )
+    cache = _ASSIGN_CACHE
+    hit = cache.get(key)
+    if hit is None:
+        hit = title_props(assign_props(value, list(schema) if schema is not None else None))
+        if len(cache) >= _ASSIGN_CACHE_MAX:
+            cache.clear()
+        cache[key] = hit
+    return hit
+
+
 def assign_and_titlecase(validated: DataFrame) -> DataFrame:
-    """validated triples -> + node1_props / node2_props (title-cased)."""
+    """validated triples -> + node1_props / node2_props (title-cased).
 
-    out_cols = [
-        "url", "span_start", "triple_id",
-        "node1_type", "node1_labels", "node1_props",
+    One ArrowEvalPython stage of two vectorized pandas UDFs over exactly
+    the four columns the rules read ((value, schema) per side) — the
+    passthrough columns (url, ids, labels, types) stay in the JVM instead
+    of riding the Arrow boundary both ways, which the mapInPandas form
+    forced (guide §4.1: pass only the columns the function needs).
+    Per-row work goes through :func:`_assign_title_cached`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("map<string,string>")
+    def _assign(value: pd.Series, schema: pd.Series) -> pd.Series:
+        # dtype=object: an empty batch otherwise yields a float64 Series,
+        # which Arrow cannot convert to map<string,string>
+        return pd.Series(
+            [_assign_title_cached(v, s) for v, s in zip(value, schema)],
+            dtype=object,
+        )
+
+    return validated.select(
+        "url",
+        "span_start",
+        "triple_id",
+        "node1_type",
+        "node1_labels",
+        _assign("node1_value", "node1_schema").alias("node1_props"),
         "relationship",
-        "node2_type", "node2_labels", "node2_props",
-    ]
-
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n1: List[dict] = [
-                title_props(assign_props(v, s))
-                for v, s in zip(pdf["node1_value"], pdf["node1_schema"])
-            ]
-            n2: List[dict] = [
-                title_props(assign_props(v, s))
-                for v, s in zip(pdf["node2_value"], pdf["node2_schema"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "span_start": pdf["span_start"],
-                    "triple_id": pdf["triple_id"],
-                    "node1_type": pdf["node1_type"],
-                    "node1_labels": pdf["node1_labels"],
-                    "node1_props": n1,
-                    "relationship": pdf["relationship"],
-                    "node2_type": pdf["node2_type"],
-                    "node2_labels": pdf["node2_labels"],
-                    "node2_props": n2,
-                },
-                columns=out_cols,
-            )
-
-    cols = [
-        "url", "span_start", "triple_id",
-        "node1_type", "node1_labels", "node1_schema", "node1_value",
-        "relationship",
-        "node2_type", "node2_labels", "node2_schema", "node2_value",
-    ]
-    return validated.select(*cols).mapInPandas(_assign, schema=ASSIGNED_SCHEMA)
+        "node2_type",
+        "node2_labels",
+        _assign("node2_value", "node2_schema").alias("node2_props"),
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .ontology import Ontology, load_ontology
 from .operators import linking, materialize, properties, validate
 from .operators.chunker import chain_chunks, chunk_pages
-from .operators.extract import extract_triples
+from .operators.extract import anchor_gate_condition, extract_triples
 from .sources.pages import extract_pages
 
 
@@ -49,7 +49,14 @@ def run_pipeline(
     onto = onto or load_ontology()
 
     extracted = extract_pages(pages)
-    raw = extract_triples(extracted)
+    # extraction branch: anchor-gate on the RAW stored text BEFORE the
+    # decode projection (one decode per row; a filter over the projected
+    # text column would make Catalyst evaluate the decode UDF twice —
+    # guide §4.4, plan-verified in plans/r07).  Pages arriving text-less
+    # pass the gate and are dropped by extract_from_text's own anchors.
+    raw = extract_triples(
+        extract_pages(pages, text_gate=anchor_gate_condition), pre_gated=True
+    )
     # cache=False: the pipeline's single cache point is `assigned` below;
     # isa/rejected are audit outputs that may recompute
     v = validate.validate_triples(spark, raw, onto, cache=False)

