@@ -146,6 +146,61 @@ def cooccurrence_frame(
     )
 
 
+def vocab_counts_fast(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_vocab: int = 2_000,
+) -> DataFrame:
+    """(token, n) capped vocabulary — the batch-vectorized twin of
+    :func:`vocab_frame`, exact-count-identical (pinned by the trainer
+    parity test).  The spec op explodes every token into its own row and
+    hash-aggregates 10^6-10^8 rows; here each partition tokenizes its
+    documents once (the explicit ASCII whitespace class — Java ``\\s``
+    parity, see :func:`cooccurrence_counts_fast`) and folds the token
+    stream into one ``Counter`` per partition (dict-hash adds — an
+    object-array ``np.unique`` sort measured slower than the JVM agg it
+    was meant to replace), so the shuffle carries per-partition distinct
+    tokens instead of the token stream.  The filter/cap/order discipline
+    (n >= min_count, stopwords out, top ``max_vocab`` by (n desc, token))
+    is identical DataFrame code over the summed partials."""
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _vcount(batches):
+        from collections import Counter
+
+        acc: Counter = Counter()
+        for pdf in batches:
+            for text in pdf[text_col]:
+                acc.update(ws_re.split((text or "").lower()))
+        acc.pop("", None)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "token": pd.Series(list(acc.keys()), dtype=object),
+                    "n": pd.Series(list(acc.values()), dtype="int64"),
+                }
+            )
+
+    partials = docs.select(F.col(text_col).alias(text_col)).mapInPandas(
+        _vcount, schema="token string, n long"
+    )
+    return (
+        partials.groupBy("token")
+        .agg(F.sum("n").alias("n"))
+        .filter(
+            (F.col("n") >= min_count)
+            & ~F.col("token").isin(*EMBED_STOPWORDS)
+        )
+        .orderBy(F.desc("n"), "token")
+        .limit(max_vocab)
+    )
+
+
 def cooccurrence_counts_fast(
     docs: DataFrame,
     vocab_tokens: List[str],
@@ -198,6 +253,11 @@ def cooccurrence_counts_fast(
     )
 
     def _count(batches):
+        # per-document accumulation with a whole-batch token-id mapping:
+        # documents are short enough that the per-doc delta loop is cheap;
+        # the id mapping stays dict-get based (an object-array np.unique
+        # sort measured 6x SLOWER at this shape — see OPTIMIZATION_r07.md
+        # "negative results")
         counts = np.zeros((n_vocab, n_vocab), dtype=np.int64)
         for pdf in batches:
             for text, d in zip(pdf["text"], pdf["d"]):
@@ -260,9 +320,14 @@ def token_cooccurrence(
 
     ``fast=True`` (default) routes the counting through
     :func:`cooccurrence_counts_fast` (numpy partial matrices, parity-pinned
-    bit-identical); ``fast=False`` keeps the spec join — the ``cooccur``
-    oracle path and the parity test's reference leg."""
-    vocab_df = vocab_frame(docs, text_col, min_count, max_vocab)
+    bit-identical) and the vocabulary through :func:`vocab_counts_fast`
+    (same parity discipline); ``fast=False`` keeps the spec ops — the
+    ``cooccur`` oracle path and the parity test's reference leg."""
+    vocab_df = (
+        vocab_counts_fast(docs, text_col, min_count, max_vocab)
+        if fast
+        else vocab_frame(docs, text_col, min_count, max_vocab)
+    )
     vocab_rows = vocab_df.collect()
     vocab_counts = {r["token"]: int(r["n"]) for r in vocab_rows}
     spark = docs.sparkSession

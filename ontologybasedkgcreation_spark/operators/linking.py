@@ -912,7 +912,22 @@ def build_graph(
                 sample.localCheckpoint()
             )
             semantic_threshold = semantic_auto_threshold
-            semantic_attest = mentions.select("url", "pre_key")
+            # attest scan pre-filter: a mention's pre_key can match a
+            # semantic candidate only if the candidate survived the
+            # CourtCase + person-prop gates, and pre_key is a hash OF
+            # (labels, canon props), so the same predicates evaluated on
+            # the MENTION's own columns keep exactly the matchable rows —
+            # this drops the majority of the 2-per-triple mention stream
+            # BEFORE the sha2/canon work and the distinct exchange
+            # (semantics pinned: the downstream join is a left_semi
+            # against those candidates)
+            semantic_attest = mentions.filter(
+                (F.col("head_label") != "CourtCase")
+                & ~F.arrays_overlap(
+                    F.map_keys(F.col("canon")),
+                    F.array(*[F.lit(k) for k in PERSON_PROP_KEYS]),
+                )
+            ).select("url", "pre_key")
             semantic_exclude_persons = True
 
     nodes0 = tokenized_node_frame(
