@@ -1883,12 +1883,19 @@ def q_stream_dedup(spark, sf_dir):
     src = f"{base}/src"
     out = f"{base}/out"
     pages.coalesce(1).write.parquet(src)
-    # one availableNow batch over ~10^3-10^4 keys: 16 state partitions
-    # only add per-partition store/commit overhead — scope the stream to
-    # 4 (state partition count is fixed per checkpoint, and each query
-    # here gets a fresh checkpoint, so this never fights a restart)
+    # state partition count for the PANDAS-state path: the bottleneck is
+    # the per-distinct-key Python group dispatch (~1 ms/key), which
+    # parallelizes across state partitions, so scope to the core count up
+    # to 16 (A/B on this box, /dev/shm checkpoints: 4 -> 5.9 s,
+    # 16 -> 3.2-3.8 s, 32 ~= 16; the r5-era "16 only adds store/commit
+    # overhead" note predated the tmpfs checkpoint move).  The JVM
+    # dropDuplicates path below keeps 4 — its per-key cost is a state
+    # lookup and fewer stores win there (measured 1.6 vs 1.9-2.6 s).
+    # Each query gets a fresh checkpoint, so the fixed-per-checkpoint
+    # state partition count never fights a restart.
+    n_state = min(16, spark.sparkContext.defaultParallelism)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
     try:
         stream = ingest.read_page_stream(
             spark, src, max_files_per_trigger=1_000_000

@@ -59,7 +59,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
     Tokenization is whitespace-RUN splitting with empty tokens dropped —
     identical on newlines/tabs/double spaces to the DuckDB oracle's
-    ``list_filter(string_split_regex(text, '\\s+'), t -> t <> '')``."""
+    ``list_filter(string_split_regex(text, '\\s+'), t -> t <> '')``.
+
+    Distinctness is PER DOCUMENT (the key includes ``doc``), so it is an
+    ``array_distinct`` inside the row — not a corpus-wide ``.distinct()``,
+    which compiled to a full exchange + hash aggregate over the exploded
+    shingle stream in every consumer of this frame (r7: one shuffle
+    removed from each of the five dedup query paths; set-identical)."""
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
     )
@@ -67,10 +73,9 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+    uniq = F.array_distinct(F.filter(sh, lambda s: s != F.lit("")))
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(uniq).alias("shingle")
     )
 
 

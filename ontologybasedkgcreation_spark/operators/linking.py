@@ -1082,10 +1082,18 @@ def link_nodes(
             F.sort_array(F.collect_list(F.struct("pkey", "pval")))
         ).alias("props")
     )
-    comp_meta = member.groupBy("comp").agg(
-        F.min("labels_str").alias("labels_str"),
-        F.first("labels", ignorenulls=True).alias("labels"),
-        F.first("head_label", ignorenulls=True).alias("head_label"),
+    # component metadata WITHOUT an exchange: every pair generator
+    # (containment, refine, bm25, semantic) blocks on labels_str, so a CC
+    # component never crosses label sets — labels_str/labels/head_label
+    # are constant within a component and the representative row
+    # (pre_key == comp; comp is the min member's pre_key, so it always
+    # exists) carries them.  This replaces a full shuffle + SortAggregate
+    # (first() on array columns cannot hash-aggregate) of the widest node
+    # columns with a narrow filter; output equality with the old
+    # min/first aggregate is exactly the within-block invariant, pinned
+    # by the idempotence/oracle suites and test_linking.
+    comp_meta = member.filter(F.col("pre_key") == F.col("comp")).select(
+        "comp", "labels_str", "labels", "head_label"
     )
     nodes = (
         comp_meta.join(props_c, "comp", "left")
