@@ -276,20 +276,30 @@ def identity_text_col(head_col: str, canon_col: str):
 
 
 def mentions_frame(assigned: DataFrame) -> DataFrame:
-    """Two mention rows per validated triple, with pre_key + identity."""
-    sides = []
-    for side in ("1", "2"):
-        sides.append(
-            assigned.select(
-                "url",
-                "triple_id",
-                F.lit(side).alias("side"),
-                F.col(f"node{side}_type").alias("head_label"),
-                F.col(f"node{side}_labels").alias("labels"),
-                F.col(f"node{side}_props").alias("props"),
+    """Two mention rows per validated triple, with pre_key + identity.
+
+    One explode over a per-row two-struct array instead of a two-branch
+    union: the union compiled to TWO full scans of the checkpointed
+    triple table (each branch its own 64-task pass over the cache), the
+    explode to one — same row multiset (row order is immaterial; every
+    consumer aggregates)."""
+    m = assigned.select(
+        "url",
+        "triple_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(side).alias("side"),
+                        F.col(f"node{side}_type").alias("head_label"),
+                        F.col(f"node{side}_labels").alias("labels"),
+                        F.col(f"node{side}_props").alias("props"),
+                    )
+                    for side in ("1", "2")
+                ]
             )
-        )
-    m = sides[0].unionByName(sides[1])
+        ).alias("_m"),
+    ).select("url", "triple_id", "_m.side", "_m.head_label", "_m.labels", "_m.props")
     m = m.withColumn("canon", canon_props_col("props"))
     m = m.withColumn("labels_str", F.concat_ws(",", "labels"))
     m = m.withColumn(

@@ -65,7 +65,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 512 rows/batch: web pages are 10-100 KB of text per row, so a batch
         # stays ~5-50 MB — 32 concurrent tasks × batch must fit the heap
-        # (2048-row batches of 20 KB pages GC-thrashed local[32])
+        # (2048-row batches of 20 KB pages GC-thrashed local[32]; r7
+        # re-tested byte-capped batches — maxBytesPerBatch=8m +
+        # maxRecordsPerBatch=8192 — and the fused per-page stage GC'd
+        # 156 s/run, 4x task time: REVERTED, the row cap stays)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config(
             "spark.sql.shuffle.partitions",
