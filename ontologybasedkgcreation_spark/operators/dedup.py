@@ -79,6 +79,19 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+def _spread(sh: DataFrame) -> DataFrame:
+    """Hash-repartition a (doc, shingle) frame across the session's
+    shuffle-partition count.  Heavy derived work (per-shingle md5 x 16
+    seeds, pair joins) hangs below this frame; a small single-file corpus
+    otherwise scans as ONE partition and serializes all of it.  The
+    explicit partition count keeps AQE from coalescing the exchange away
+    (the data is small by bytes — the point is task parallelism).  NOT
+    part of shingles() itself: decontamination's training side must stay
+    exchange-free (plan-pinned)."""
+    n = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return sh.repartition(n, F.col("doc"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -88,7 +101,14 @@ def ngram_jaccard_pairs(
     max_df: int = 10_000,
 ) -> DataFrame:
     """(a, b, jaccard) pairs with Jaccard(shingle sets) >= threshold."""
-    sh = shingles(df, id_col, text_col, n).cache()
+    # the repartition spreads the shingle table before it is cached and
+    # re-consumed: a small single-file corpus scans as ONE partition, and
+    # without an exchange every downstream pass (pair join probes, md5
+    # signatures in sibling queries reusing this cache) runs single-task
+    # (r7: measured 12 s single-task md5 stages).  The round-start
+    # .distinct() paid the same exchange implicitly; per-doc distinctness
+    # itself is the row-local array_distinct in shingles().
+    sh = _spread(shingles(df, id_col, text_col, n)).cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("nsh"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     idx = sh.join(
@@ -166,7 +186,9 @@ def lsh_jaccard_pairs(
     """The 100 TB-shape near-dup operator: MinHash-LSH candidate generation
     followed by exact-Jaccard verification.  Bounded everywhere — banded
     bucket join for candidates, per-candidate probe join for the verify."""
-    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = _spread(shingles(df, id_col, text_col, n)).localCheckpoint(
+        eager=False
+    )
     cand = minhash_lsh_pairs_from_shingles(sh, bands, rows_per_band)
     return jaccard_verify(cand, sh, threshold)
 
@@ -199,7 +221,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any full LSH band."""
-    sh = shingles(df, id_col, text_col, n)
+    sh = _spread(shingles(df, id_col, text_col, n))
     return minhash_lsh_pairs_from_shingles(sh, bands, rows_per_band)
 
 
@@ -216,6 +238,13 @@ def minhash_lsh_pairs_from_shingles(
                 "|", F.array_sort(F.collect_list(F.col("minhash")))
             ).alias("band_sig")
         )
+        # lazy checkpoint: the a/b self-join below otherwise plans a
+        # broadcast-hash build whose BROADCAST side re-executes the whole
+        # md5-signature chain (a shuffle exchange cannot be reused as a
+        # broadcast exchange) — the signatures were computed twice at
+        # round start too; materializing banded once removes the second
+        # pass for every caller
+        .localCheckpoint(eager=False)
     )
     a = banded.select(F.col("doc").alias("a"), "band", "band_sig")
     b = banded.select(F.col("doc").alias("b"), "band", "band_sig")
@@ -324,7 +353,11 @@ def hash_tokens_u64(tokens) -> "np.ndarray":
 
 def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by banded SimHash: 4x16-bit bands guarantee recall for
-    Hamming distance <= 3; exact popcount verify after the band join."""
+    Hamming distance <= 3; exact popcount verify after the band join.
+
+    The band table is lazily checkpointed before the a/b self-join — the
+    broadcast build side would otherwise re-run the Arrow signature
+    stage (same rationale as minhash_lsh_pairs_from_shingles)."""
     bands = sig.select(
         "doc",
         "simhash",
@@ -334,7 +367,7 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).withColumn(
         "band_bits",
         F.expr("shiftrightunsigned(simhash, band * 16) & 65535"),
-    )
+    ).localCheckpoint(eager=False)
     a = bands.select(
         F.col("doc").alias("a"), F.col("simhash").alias("sim_a"), "band", "band_bits"
     )
