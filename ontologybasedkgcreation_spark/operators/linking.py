@@ -606,9 +606,13 @@ def refine_pairs(
         .distinct()
     )
     side = base.join(keys, "pre_key", "left_semi")
+    # lazy checkpoint: fa and fb below are two branches over this frame —
+    # without it the Arrow hashing-TF stage runs once per branch
     feats = hashing_feature_vectors(
         side, "pre_key", "norm_identity", dim
-    ).join(side.select("pre_key", "num_toks"), "pre_key")
+    ).join(side.select("pre_key", "num_toks"), "pre_key").localCheckpoint(
+        eager=False
+    )
     fa = feats.select(
         F.col("pre_key").alias("a"),
         F.col("features").alias("fa"),

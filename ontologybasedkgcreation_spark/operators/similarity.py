@@ -410,6 +410,11 @@ def cosine_neardup_pairs_lsh(
             )
         dim = len(row[0])
     n_bands = bits // band_bits
+    # materialize the (id, vec, blk) source once: the signature pass AND
+    # the two verify branches below otherwise each re-run the upstream
+    # plan — which is a Python embedding stage when called from
+    # refine_pairs_semantic (the embedder would execute three times)
+    df = df.select(id_col, vec_col, block_col).localCheckpoint(eager=False)
     sig = srp_signature(df, id_col, vec_col, block_col, bits, band_bits, dim)
     banded = sig.select(
         "id",
