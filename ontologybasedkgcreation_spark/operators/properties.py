@@ -234,7 +234,11 @@ def assign_and_titlecase_expr(validated: DataFrame) -> DataFrame:
 # (tuple(items), not sorted) because rule 1 concatenates map values in
 # entry order.
 _ASSIGN_CACHE: dict = {}
-_ASSIGN_CACHE_MAX = 1 << 18
+# 2^19 entries ≈ 100 MB/worker upper bound: a 200k-page corpus carries
+# ~150-250k distinct (value, schema) pairs per worker, which overflowed
+# the 2^18 cap and triggered wholesale clears mid-run (hot pool entries
+# lost with the cold per-page ones)
+_ASSIGN_CACHE_MAX = 1 << 19
 
 
 def _assign_title_cached(value, schema) -> Dict[str, str]:
