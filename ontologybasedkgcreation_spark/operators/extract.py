@@ -163,6 +163,24 @@ def _iter_opinion(text: str):
         pos = text.find(lit, pos + 1)
 
 
+def _search_line_lit(text: str, rx: "re.Pattern", lit: str):
+    """``rx.search(text)`` for ^-anchored single/multi-line patterns whose
+    every match's FIRST line contains ``lit`` (case-sensitively): try the
+    regex only at candidate line starts, in order — the first hit is the
+    leftmost match (line starts are non-decreasing in literal position)."""
+    tried = -1
+    pos = text.find(lit)
+    while pos != -1:
+        ls = text.rfind("\n", 0, pos) + 1
+        if ls != tried:
+            tried = ls
+            m = rx.match(text, ls)
+            if m is not None:
+                return m
+        pos = text.find(lit, pos + 1)
+    return None
+
+
 def _party_type(name: str) -> str:
     """Individual vs State party typing — the header examples at
     prompts.py:672-685 type persons Individual and "State of ..." State."""
@@ -255,7 +273,7 @@ def extract_from_text(text: str) -> List[Triple]:
     # per comma-separated term (ontology: catchwordValue; prompt spec space
     # "domain words, facts and issue related words")
     if primary:
-        cw_m = _CATCHWORDS_RE.search(header)
+        cw_m = _search_line_lit(header, _CATCHWORDS_RE, "CATCHWORDS: ")
         if cw_m:
             for word in cw_m.group(1).split(","):
                 word = word.strip()
@@ -268,13 +286,13 @@ def extract_from_text(text: str) -> List[Triple]:
     # judges: a multi-judge bench line ("…, JJ.") names every member; else
     # the single-judge line ("X. SURNAME, J.")
     judges: List[Tuple[int, str]] = []
-    bench_m = _BENCH_LINE_RE.search(header)
+    bench_m = _search_line_lit(header, _BENCH_LINE_RE, ", JJ.")
     if bench_m:
         judges = [
             (bench_m.start(), _fmt_judge(n)) for n in bench_m.group(1).split(",")
         ]
     else:
-        judge_m = _JUDGE_LINE_RE.search(header)
+        judge_m = _search_line_lit(header, _JUDGE_LINE_RE, ", J.")
         if judge_m:
             judges = [
                 (judge_m.start(),

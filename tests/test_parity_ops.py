@@ -379,3 +379,35 @@ def test_extract_and_assign_empty_batches(spark):
                                 semantic="off")
     assert out["nodes"].count() == 0
     assert out["edges"].count() == 0
+
+
+def test_extract_header_dispatch_parity():
+    """Header literal-dispatch line scanners (_search_line_lit) == direct
+    regex search on adversarial fixture headers plus constructed edge
+    cases.  (_CASE_BLOCK_RE keeps plain finditer: its IGNORECASE dispatch
+    needed a per-char ASCII fold that measured 5x slower — negative
+    result, see OPTIMIZATION_r07.md.)"""
+    from ontologybasedkgcreation_spark import fixtures
+    from ontologybasedkgcreation_spark.operators import extract as E
+
+    headers = [
+        fixtures._page_text(fixtures._page_spec(i), target_chars=6000)[:6000]
+        for i in range(400)
+    ]
+    headers += [
+        # literals not at a matching line
+        "the appeal no was denied\nCATCHWORDS: alpha, beta\nR. ROY, J.\nA. B, JJ.\n",
+        "CATCHWORDS: x\nsecond CATCHWORDS: y\n",
+        "R. BANUMATHI, A. DESHMUKH, JJ.\nK. RAO, J.\n",
+    ]
+    for h in headers:
+        for rx, lit in (
+            (E._CATCHWORDS_RE, "CATCHWORDS: "),
+            (E._BENCH_LINE_RE, ", JJ."),
+            (E._JUDGE_LINE_RE, ", J."),
+        ):
+            r = rx.search(h)
+            n = E._search_line_lit(h, rx, lit)
+            assert (r is None) == (n is None)
+            if r is not None:
+                assert r.span() == n.span() and r.groups() == n.groups()
